@@ -1,0 +1,124 @@
+"""Greedy NMS with fixed shapes — the TPU re-expression of gpu_nms.
+
+Reference equivalent: ``*/nms/nms.py`` + ``gpu_nms.pyx`` / ``nms_kernel.cu``
+(greedy IoU suppression) and the test-time per-class wrapper. Greedy NMS is
+inherently sequential in the number of *kept* boxes; the TPU formulation runs
+N fixed vector steps (each O(N) on the VPU) over a score-sorted, padded box
+set — exact greedy semantics, static shapes, no host round-trip.
+
+Class-aware NMS uses the classic coordinate-offset trick: shift each class's
+boxes into a disjoint region so one single-class NMS pass does per-class
+suppression.
+
+A Pallas tiled variant lives in ``ops/pallas/nms.py`` for large N; this module
+is the reference implementation and the dispatcher.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import pairwise_iou
+
+Array = jax.Array
+
+
+def nms_mask(boxes: Array, scores: Array, iou_thr: float, valid: Array | None = None) -> Array:
+    """Exact greedy NMS. Returns bool keep mask aligned with inputs.
+
+    boxes: (N, 4) xyxy, scores: (N,). Padding rows should carry score=-inf or
+    valid=False. N is static; loop runs N steps of vectorized suppression.
+    """
+    n = boxes.shape[0]
+    order = jnp.argsort(-scores)  # descending
+    boxes_s = boxes[order]
+    iou = pairwise_iou(boxes_s, boxes_s)  # (N, N)
+
+    if valid is None:
+        valid_s = jnp.ones((n,), bool)
+    else:
+        valid_s = valid[order]
+
+    def body(i, keep):
+        # If box i survives so far (and is valid), suppress later overlaps.
+        alive_i = keep[i] & valid_s[i]
+        later = jax.lax.broadcasted_iota(jnp.int32, (n,), 0) > i
+        suppress = alive_i & later & (iou[i] > iou_thr)
+        return keep & ~suppress
+
+    keep_sorted = jax.lax.fori_loop(0, n, body, valid_s)
+    # scatter back to the original ordering
+    keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
+    return keep
+
+
+def _topk_padded(scores: Array, k: int) -> tuple[Array, Array]:
+    """top_k that tolerates k > len(scores) by padding with -inf."""
+    n = scores.shape[0]
+    if k > n:
+        scores = jnp.concatenate([scores, jnp.full((k - n,), -jnp.inf, scores.dtype)])
+    return jax.lax.top_k(scores, k)
+
+
+def nms(
+    boxes: Array,
+    scores: Array,
+    iou_thr: float,
+    max_out: int,
+    valid: Array | None = None,
+    score_thr: float = -jnp.inf,
+) -> tuple[Array, Array, Array]:
+    """NMS returning fixed-size top-``max_out`` (boxes, scores, valid_mask)."""
+    if valid is None:
+        valid = jnp.ones(scores.shape, bool)
+    valid = valid & (scores > score_thr)
+    masked_scores = jnp.where(valid, scores, -jnp.inf)
+    keep = nms_mask(boxes, masked_scores, iou_thr, valid)
+    out_scores = jnp.where(keep, masked_scores, -jnp.inf)
+    top_scores, idx = _topk_padded(out_scores, max_out)
+    idx = jnp.minimum(idx, boxes.shape[0] - 1)
+    out_valid = top_scores > -jnp.inf
+    out_boxes = jnp.where(out_valid[:, None], boxes[idx], 0.0)
+    return out_boxes, jnp.where(out_valid, top_scores, 0.0), out_valid
+
+
+def class_aware_nms(
+    boxes: Array,
+    scores: Array,
+    labels: Array,
+    iou_thr: float,
+    max_out: int,
+    valid: Array | None = None,
+    score_thr: float = -jnp.inf,
+    class_offset: float = 1e5,
+) -> tuple[Array, Array, Array, Array]:
+    """Per-class NMS via the coordinate-offset trick.
+
+    boxes (N, 4), scores (N,), labels (N,) int. Returns fixed-size
+    (boxes, scores, labels, valid) of length max_out, score-sorted.
+    Reference equivalent: the test-time per-class ``py_nms_wrapper`` loop in
+    ``*/core/tester.py`` — but one fused pass instead of C python loops.
+    """
+    offsets = labels.astype(boxes.dtype)[:, None] * class_offset
+    shifted = boxes + offsets
+    if valid is None:
+        valid = jnp.ones(scores.shape, bool)
+    valid = valid & (scores > score_thr)
+    masked_scores = jnp.where(valid, scores, -jnp.inf)
+    keep = nms_mask(shifted, masked_scores, iou_thr, valid)
+    out_scores = jnp.where(keep, masked_scores, -jnp.inf)
+    top_scores, idx = _topk_padded(out_scores, max_out)
+    idx = jnp.minimum(idx, boxes.shape[0] - 1)
+    out_valid = top_scores > -jnp.inf
+    out_boxes = jnp.where(out_valid[:, None], boxes[idx], 0.0)
+    out_labels = jnp.where(out_valid, labels[idx], -1)
+    return out_boxes, jnp.where(out_valid, top_scores, 0.0), out_labels, out_valid
+
+
+def batched_nms(boxes: Array, scores: Array, iou_thr: float, max_out: int, valid=None):
+    """vmap-friendly single-class NMS over a leading batch dim."""
+    fn = lambda b, s, v: nms(b, s, iou_thr, max_out, v)
+    if valid is None:
+        valid = jnp.ones(scores.shape, bool)
+    return jax.vmap(fn)(boxes, scores, valid)
