@@ -104,16 +104,17 @@ class GroupNorm(nn.Module):
         return out.astype(self.dtype)
 
 
-def make_norm(kind: str, dtype=jnp.bfloat16, train: bool = True) -> Callable[[], nn.Module]:
-    """Factory keyed by config string."""
+def make_norm(kind: str, dtype=jnp.bfloat16, train: bool = True) -> Callable[..., nn.Module]:
+    """Factory keyed by config string; kwargs (e.g. ``name``) pass through."""
     if kind == "frozen_bn":
-        return lambda: FrozenBatchNorm(dtype=dtype)
+        return lambda **kw: FrozenBatchNorm(dtype=dtype, **kw)
     if kind == "sync_bn":
-        return lambda: SyncBatchNorm(dtype=dtype, use_running_average=not train)
+        return lambda **kw: SyncBatchNorm(dtype=dtype, use_running_average=not train, **kw)
     if kind == "bn":
-        return lambda: SyncBatchNorm(dtype=dtype, axis_name=None, use_running_average=not train)
+        return lambda **kw: SyncBatchNorm(dtype=dtype, axis_name=None,
+                                          use_running_average=not train, **kw)
     if kind == "gn":
-        return lambda: GroupNorm(dtype=dtype)
+        return lambda **kw: GroupNorm(dtype=dtype, **kw)
     raise ValueError(f"unknown norm {kind!r}")
 
 
