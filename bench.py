@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Headline benchmark: Faster R-CNN R50-FPN COCO-scale inference, images/sec/chip.
+
+Driver contract (BASELINE.json): north-star is >=5x images/sec/chip over the
+MXNet reference baseline on Faster R-CNN R50-FPN COCO inference. The reference
+itself published no numbers ("published": {}) and is not runnable here, so the
+denominator is the family-standard published single-GPU throughput for this
+exact architecture in the MXNet/Detectron era: ~12 images/sec (Detectron
+model-zoo inference timing for e2e Faster R-CNN R50-FPN, ~80-90 ms/im on
+P100/V100-class hardware; BASELINE.md). vs_baseline = ours / 12.0.
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+REFERENCE_IMGS_PER_SEC = 12.0  # documented proxy denominator, see module docstring
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mxdetection_tpu.config import load_config
+    from mxdetection_tpu.data.transforms import batch_transform
+    from mxdetection_tpu.models.registry import build_detector
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    cfg = load_config("configs/faster_rcnn_r50_fpn_1x.py")
+    d = cfg.data
+    pad_hw = (d.pad_h, d.pad_w)
+
+    bundle = build_detector(cfg)
+    rng = jax.random.PRNGKey(0)
+    tb0 = {"images": jnp.zeros((1, *pad_hw, 3), jnp.bfloat16),
+           "im_info": jnp.asarray([[800.0, 1333.0, 1.0]]),
+           "gt_boxes": jnp.zeros((1, d.max_gt, 4)),
+           "gt_labels": jnp.zeros((1, d.max_gt), jnp.int32),
+           "gt_valid": jnp.zeros((1, d.max_gt), bool)}
+    variables = bundle.init(rng, tb0)
+
+    def forward(variables, raw, hw, flip, gtb):
+        tb = batch_transform(raw, hw, flip, gtb, out_hw=pad_hw,
+                             scale_size=d.scale, max_size=d.max_size,
+                             mean=d.mean, std=d.std,
+                             dtype=jnp.dtype(cfg.backbone.dtype))
+        out = bundle.apply_eval(variables, tb)
+        dets = bundle.postprocess(out, cfg, pad_hw, tb["im_info"])
+        return dets["boxes"], dets["scores"], dets["labels"], dets["valid"]
+
+    fwd = jax.jit(forward)
+
+    # synthetic COCO-sized input (decode is host-side and excluded, matching
+    # the metric definition: device inference throughput)
+    rng_np = np.random.RandomState(0)
+    raw = jnp.asarray(rng_np.randint(0, 255, (batch, 640, 640, 3), np.uint8))
+    hw = jnp.asarray([[480.0, 640.0]] * batch)
+    flip = jnp.zeros((batch,), bool)
+    gtb = jnp.zeros((batch, d.max_gt, 4))
+
+    # warmup/compile
+    jax.block_until_ready(fwd(variables, raw, hw, flip, gtb))
+    jax.block_until_ready(fwd(variables, raw, hw, flip, gtb))
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(variables, raw, hw, flip, gtb)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch * iters / dt
+    print(json.dumps({
+        "metric": "faster_rcnn_r50_fpn_coco_inference_images_per_sec_per_chip",
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / REFERENCE_IMGS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

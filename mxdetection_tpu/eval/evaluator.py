@@ -1,0 +1,124 @@
+"""Inference/eval driver: batched jitted forward+postprocess -> COCO metrics.
+
+Reference equivalent: ``Predictor`` + ``pred_eval`` (``*/core/tester.py``;
+SURVEY.md §3.2). The reference crossed device->host once per image for numpy
+decode/NMS; here decode+NMS run inside the same jit as the network and only
+the final fixed-size top-100 per image is transferred — the contract's main
+inference-throughput lever.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..data.coco import CocoDataset
+from ..data.loader import DetectionLoader
+from ..data.transforms import batch_transform
+from .coco_eval import CocoEvaluator, format_table
+
+
+def build_gt_list(ds: CocoDataset, with_masks: bool = False) -> list:
+    gts = []
+    for rec in ds.records:
+        masks = None
+        if with_masks:
+            pass  # per-ann full masks built lazily by the caller when needed
+        for i in range(len(rec.boxes)):
+            b = rec.boxes[i]
+            gts.append({
+                "image_id": rec.image_id,
+                "category": int(rec.labels[i]),
+                "bbox": [float(x) for x in b],
+                "area": float((b[2] - b[0]) * (b[3] - b[1])),
+                "iscrowd": bool(rec.is_crowd[i]),
+            })
+    return gts
+
+
+def paste_mask(mask28: np.ndarray, box: np.ndarray, im_h: int, im_w: int,
+               thr: float = 0.5) -> np.ndarray:
+    """Paste a box-normalized predicted mask into image canvas (host, eval-only)."""
+    from PIL import Image
+    x1, y1, x2, y2 = box
+    w = max(int(round(x2 - x1)), 1)
+    h = max(int(round(y2 - y1)), 1)
+    m = np.asarray(Image.fromarray((mask28 * 255).astype(np.uint8)).resize(
+        (w, h), Image.BILINEAR), np.float32) / 255.0
+    out = np.zeros((im_h, im_w), bool)
+    x0, y0 = int(round(x1)), int(round(y1))
+    xs, ys = max(0, -x0), max(0, -y0)
+    xe = min(w, im_w - x0)
+    ye = min(h, im_h - y0)
+    if xe > xs and ye > ys:
+        out[y0 + ys:y0 + ye, x0 + xs:x0 + xe] = m[ys:ye, xs:xe] >= thr
+    return out
+
+
+class Evaluator:
+    """Runs a detector bundle over a dataset and computes COCO metrics."""
+
+    def __init__(self, cfg: Config, bundle, variables, dataset: CocoDataset,
+                 batch_size: int = 8, raw_hw=(640, 640), with_masks: bool = False):
+        self.cfg = cfg
+        self.bundle = bundle
+        self.variables = variables
+        self.ds = dataset
+        self.with_masks = with_masks
+        self.loader = DetectionLoader(
+            dataset, batch_size=batch_size, raw_hw=raw_hw, max_gt=cfg.data.max_gt,
+            shuffle=False, flip=False, drop_last=False,
+            num_shards=jax.process_count(), shard_index=jax.process_index())
+
+        d = cfg.data
+        pad_hw = (d.pad_h, d.pad_w)
+
+        def forward(variables, batch):
+            tb = batch_transform(
+                batch["raw"], batch["hw"], batch["flip"], batch["gt_boxes"],
+                out_hw=pad_hw, scale_size=d.scale, max_size=d.max_size,
+                mean=d.mean, std=d.std, dtype=jnp.dtype(cfg.backbone.dtype))
+            out = bundle.apply_eval(variables, tb)
+            dets = bundle.postprocess(out, cfg, pad_hw, tb["im_info"])
+            if with_masks and cfg.mask_head is not None:
+                logits = bundle.model_eval.apply(
+                    variables, out["pyramid"],
+                    dets["boxes"] * tb["im_info"][:, 2][:, None, None],
+                    dets["valid"], method=bundle.model_eval.mask_forward)
+                cls_idx = jnp.clip(dets["labels"], 0, cfg.bbox_head.num_classes - 1)
+                sel = jnp.take_along_axis(
+                    logits, cls_idx[:, :, None, None, None], axis=-1)[..., 0]
+                dets["masks"] = jax.nn.sigmoid(sel)
+            return dets
+
+        self.forward = jax.jit(forward)
+
+    def run(self, max_images: int | None = None, verbose: bool = True) -> dict:
+        evaluator = CocoEvaluator(build_gt_list(self.ds), self.ds.num_classes, "bbox")
+        n_done = 0
+        t0 = time.time()
+        for batch in self.loader.epoch(0):
+            dets = jax.device_get(self.forward(self.variables, batch))
+            for i in range(len(batch["image_ids"])):
+                if max_images is not None and n_done >= max_images:
+                    break
+                v = dets["valid"][i]
+                evaluator.add(
+                    int(batch["image_ids"][i]),
+                    dets["boxes"][i][v], dets["scores"][i][v], dets["labels"][i][v])
+                n_done += 1
+            if max_images is not None and n_done >= max_images:
+                break
+        dt = time.time() - t0
+        results = evaluator.evaluate()
+        results["images_per_sec"] = n_done / max(dt, 1e-9)
+        results["num_images"] = n_done
+        if verbose:
+            print(format_table(results))
+            print(f"inference: {n_done} imgs in {dt:.1f}s "
+                  f"({results['images_per_sec']:.2f} img/s)")
+        return results

@@ -61,6 +61,18 @@ def _topk_padded(scores: Array, k: int) -> tuple[Array, Array]:
     return jax.lax.top_k(scores, k)
 
 
+def _use_pallas() -> bool:
+    """Route to the Pallas kernel on TPU (override with MXDET_NMS_IMPL)."""
+    import os
+
+    impl = os.environ.get("MXDET_NMS_IMPL", "auto")
+    if impl == "pallas":
+        return True
+    if impl == "lax":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def nms(
     boxes: Array,
     scores: Array,
@@ -70,6 +82,10 @@ def nms(
     score_thr: float = -jnp.inf,
 ) -> tuple[Array, Array, Array]:
     """NMS returning fixed-size top-``max_out`` (boxes, scores, valid_mask)."""
+    if _use_pallas():
+        from .pallas.nms import nms_pallas
+
+        return nms_pallas(boxes, scores, iou_thr, max_out, valid, score_thr)
     if valid is None:
         valid = jnp.ones(scores.shape, bool)
     valid = valid & (scores > score_thr)
@@ -100,6 +116,11 @@ def class_aware_nms(
     Reference equivalent: the test-time per-class ``py_nms_wrapper`` loop in
     ``*/core/tester.py`` — but one fused pass instead of C python loops.
     """
+    if _use_pallas():
+        from .pallas.nms import class_aware_nms_pallas
+
+        return class_aware_nms_pallas(
+            boxes, scores, labels, iou_thr, max_out, valid, score_thr, class_offset)
     offsets = labels.astype(boxes.dtype)[:, None] * class_offset
     shifted = boxes + offsets
     if valid is None:

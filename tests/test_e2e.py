@@ -1,0 +1,56 @@
+"""End-to-end smoke: train RetinaNet on tiny synthetic COCO -> eval -> mAP.
+
+SURVEY.md §4.5. Slow on the CPU test mesh, so gated behind MXDET_RUN_SLOW=1
+(the fast suite already covers every stage of this path individually; this
+test checks they compose into a learning system).
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("MXDET_RUN_SLOW") != "1", reason="set MXDET_RUN_SLOW=1")
+
+
+def test_train_then_eval_nonzero_map(tmp_path):
+    from mxdetection_tpu.config import load_config
+    from mxdetection_tpu.data import CocoDataset, DetectionLoader, make_synthetic_coco
+    from mxdetection_tpu.models.registry import build_detector
+    from mxdetection_tpu.parallel import make_mesh
+    from mxdetection_tpu.train import Trainer
+    from mxdetection_tpu.eval import Evaluator
+
+    ann, img_dir = make_synthetic_coco(str(tmp_path), num_images=16, num_classes=3,
+                                       max_objects=2, seed=7)
+    ds = CocoDataset(ann, img_dir)
+
+    cfg = load_config("configs/retinanet_r50_fpn_1x.py").override(**{
+        "data.pad_h": 128, "data.pad_w": 128, "data.scale": 100, "data.max_size": 128,
+        "data.max_gt": 8, "retina_head.num_classes": 3,
+        "train.optim.base_lr": 0.02, "train.optim.warmup_steps": 20,
+        "train.optim.grad_clip": 10.0,
+        "test.score_thr": 0.05, "test.pre_nms_per_class": 400,
+    })
+    mesh = make_mesh((-1, 1))
+    n_dev = mesh.devices.size
+    bundle = build_detector(cfg)
+    loader = DetectionLoader(ds, batch_size=n_dev, raw_hw=(416, 416),
+                             max_gt=8, seed=0)
+    tb0 = {"images": jnp.zeros((1, 128, 128, 3))}
+    variables = bundle.init(jax.random.PRNGKey(0), tb0)
+    trainer = Trainer(cfg, bundle.apply_train, variables, bundle.loss_fn,
+                      mesh, steps_per_epoch=loader.steps_per_epoch())
+
+    it = iter(loader)
+    losses = [float(trainer.run_step(next(it))["loss"]) for _ in range(60)]
+    assert losses[-1] < losses[0] * 0.5, losses
+
+    final_vars = {"params": jax.device_get(trainer.state.params),
+                  "batch_stats": jax.device_get(trainer.state.batch_stats)}
+    ev = Evaluator(cfg, bundle, final_vars, ds, batch_size=4, raw_hw=(416, 416))
+    results = ev.run(verbose=True)
+    assert results["AP50"] > 0.1, results
