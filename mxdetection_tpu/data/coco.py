@@ -38,6 +38,7 @@ class ImageRecord:
     boxes: np.ndarray          # (G, 4) xyxy float32
     labels: np.ndarray         # (G,) int32, contiguous [0, num_classes)
     is_crowd: np.ndarray       # (G,) bool
+    areas: np.ndarray | None = None                # (G,) float annotation areas
     polygons: list = field(default_factory=list)   # per instance: list of (P, 2) arrays
     box_masks: np.ndarray | None = None            # (G, M, M) uint8, lazy
 
@@ -62,6 +63,17 @@ def rasterize_polygons_in_box(polygons, box, out_size: int) -> np.ndarray:
         if len(p) >= 3:
             draw.polygon([tuple(q) for q in p], outline=1, fill=1)
     return np.asarray(img, np.uint8)
+
+
+def rasterize_full_mask(polygons, height: int, width: int) -> np.ndarray:
+    """Rasterize an instance's polygons at full image resolution (eval-side)."""
+    img = Image.new("L", (width, height), 0)
+    draw = ImageDraw.Draw(img)
+    for poly in polygons:
+        p = np.asarray(poly, np.float64).reshape(-1, 2)
+        if len(p) >= 3:
+            draw.polygon([tuple(q) for q in p], outline=1, fill=1)
+    return np.asarray(img, bool)
 
 
 class CocoDataset:
@@ -94,7 +106,7 @@ class CocoDataset:
         self.records: list[ImageRecord] = []
         for im in ann["images"]:
             anns = per_image.get(im["id"], [])
-            boxes, labels, crowd, polys = [], [], [], []
+            boxes, labels, crowd, polys, areas = [], [], [], [], []
             for a in anns:
                 x, y, w, h = a["bbox"]
                 if w < min_box_size or h < min_box_size:
@@ -102,6 +114,7 @@ class CocoDataset:
                 boxes.append([x, y, x + w, y + h])
                 labels.append(cat_to_label[a["category_id"]])
                 crowd.append(bool(a.get("iscrowd", 0)))
+                areas.append(float(a.get("area", w * h)))
                 seg = a.get("segmentation")
                 polys.append(seg if isinstance(seg, list) else [])
             if filter_empty and not boxes:
@@ -114,6 +127,7 @@ class CocoDataset:
                 boxes=np.asarray(boxes, np.float32).reshape(-1, 4),
                 labels=np.asarray(labels, np.int32),
                 is_crowd=np.asarray(crowd, bool),
+                areas=np.asarray(areas, np.float64),
                 polygons=polys,
             ))
         # ground truth kept for eval

@@ -41,9 +41,20 @@ def bbox_iou_matrix(dts: np.ndarray, gts: np.ndarray, iscrowd: np.ndarray) -> np
 
 
 def mask_iou_matrix(dt_masks, gt_masks, iscrowd) -> np.ndarray:
-    """IoU between boolean masks (lists of (H, W) arrays)."""
+    """IoU between masks given as RLE dicts (preferred: run-merge via the
+    native C++ codec, no decode) or raw (H, W) bool arrays."""
     d = len(dt_masks)
     g = len(gt_masks)
+    if d and g and isinstance(dt_masks[0], dict) and isinstance(gt_masks[0], dict):
+        from . import rle_native
+        if rle_native.available():
+            return rle_native.iou_matrix(dt_masks, gt_masks, np.asarray(iscrowd))
+        from .rle import rle_iou
+        out = np.zeros((d, g))
+        for i in range(d):
+            for j in range(g):
+                out[i, j] = rle_iou(dt_masks[i], gt_masks[j], bool(iscrowd[j]))
+        return out
     out = np.zeros((d, g))
     d_area = np.array([m.sum() for m in dt_masks], np.float64)
     g_area = np.array([m.sum() for m in gt_masks], np.float64)
@@ -131,7 +142,11 @@ class CocoEvaluator:
 
     def _dt_area(self, entry, i):
         if self.iou_type == "segm" and entry["masks"] is not None:
-            return float(entry["masks"][i].sum())
+            m = entry["masks"][i]
+            if isinstance(m, dict):
+                from .rle import rle_area
+                return float(rle_area(m))
+            return float(m.sum())
         b = entry["boxes"][i]
         return max(b[2] - b[0], 0) * max(b[3] - b[1], 0)
 

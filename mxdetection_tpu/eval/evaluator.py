@@ -23,20 +23,25 @@ from .coco_eval import CocoEvaluator, format_table
 
 
 def build_gt_list(ds: CocoDataset, with_masks: bool = False) -> list:
+    from .rle import encode_rle
+    from ..data.coco import rasterize_full_mask
+
     gts = []
     for rec in ds.records:
-        masks = None
-        if with_masks:
-            pass  # per-ann full masks built lazily by the caller when needed
         for i in range(len(rec.boxes)):
             b = rec.boxes[i]
-            gts.append({
+            gt = {
                 "image_id": rec.image_id,
                 "category": int(rec.labels[i]),
                 "bbox": [float(x) for x in b],
-                "area": float((b[2] - b[0]) * (b[3] - b[1])),
+                "area": float(rec.areas[i]) if rec.areas is not None
+                else float((b[2] - b[0]) * (b[3] - b[1])),
                 "iscrowd": bool(rec.is_crowd[i]),
-            })
+            }
+            if with_masks:
+                gt["mask"] = encode_rle(
+                    rasterize_full_mask(rec.polygons[i], rec.height, rec.width))
+            gts.append(gt)
     return gts
 
 
@@ -98,7 +103,15 @@ class Evaluator:
         self.forward = jax.jit(forward)
 
     def run(self, max_images: int | None = None, verbose: bool = True) -> dict:
+        from .rle import encode_rle
+
         evaluator = CocoEvaluator(build_gt_list(self.ds), self.ds.num_classes, "bbox")
+        segm_eval = None
+        if self.with_masks:
+            segm_eval = CocoEvaluator(
+                build_gt_list(self.ds, with_masks=True), self.ds.num_classes, "segm")
+        size_by_id = {r.image_id: (r.height, r.width) for r in self.ds.records}
+
         n_done = 0
         t0 = time.time()
         for batch in self.loader.epoch(0):
@@ -106,10 +119,16 @@ class Evaluator:
             for i in range(len(batch["image_ids"])):
                 if max_images is not None and n_done >= max_images:
                     break
+                img_id = int(batch["image_ids"][i])
                 v = dets["valid"][i]
-                evaluator.add(
-                    int(batch["image_ids"][i]),
-                    dets["boxes"][i][v], dets["scores"][i][v], dets["labels"][i][v])
+                evaluator.add(img_id, dets["boxes"][i][v], dets["scores"][i][v],
+                              dets["labels"][i][v])
+                if segm_eval is not None:
+                    im_h, im_w = size_by_id[img_id]
+                    rles = [encode_rle(paste_mask(m, b, im_h, im_w))
+                            for m, b in zip(dets["masks"][i][v], dets["boxes"][i][v])]
+                    segm_eval.add(img_id, dets["boxes"][i][v], dets["scores"][i][v],
+                                  dets["labels"][i][v], masks=rles)
                 n_done += 1
             if max_images is not None and n_done >= max_images:
                 break
@@ -117,8 +136,13 @@ class Evaluator:
         results = evaluator.evaluate()
         results["images_per_sec"] = n_done / max(dt, 1e-9)
         results["num_images"] = n_done
+        if segm_eval is not None:
+            results["segm"] = segm_eval.evaluate()
         if verbose:
             print(format_table(results))
+            if segm_eval is not None:
+                print("segm:")
+                print(format_table(results["segm"], "segm"))
             print(f"inference: {n_done} imgs in {dt:.1f}s "
                   f"({results['images_per_sec']:.2f} img/s)")
         return results
