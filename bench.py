@@ -63,15 +63,15 @@ def main():
     flip = jnp.zeros((batch,), bool)
     gtb = jnp.zeros((batch, d.max_gt, 4))
 
-    # warmup/compile
-    jax.block_until_ready(fwd(variables, raw, hw, flip, gtb))
-    jax.block_until_ready(fwd(variables, raw, hw, flip, gtb))
+    # warmup/compile (device_get forces real completion: block_until_ready is
+    # unreliable through the remote-execution relay in this environment)
+    jax.device_get(fwd(variables, raw, hw, flip, gtb))
+    jax.device_get(fwd(variables, raw, hw, flip, gtb))
 
     iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(variables, raw, hw, flip, gtb)
-    jax.block_until_ready(out)
+    outs = [fwd(variables, raw, hw, flip, gtb) for _ in range(iters)]
+    jax.device_get(outs)  # detections come back to host, as in real serving
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch * iters / dt

@@ -86,6 +86,10 @@ class BboxHeadCfg:
     class_agnostic: bool = False
     loss_bbox_weight: float = 1.0
     smooth_l1_beta: float = 1.0
+    # OHEM (reference: BoxAnnotatorOHEM custom op): backprop only the
+    # ohem_keep hardest sampled rois when enabled
+    ohem: bool = False
+    ohem_keep: int = 128
 
 
 @dataclass(frozen=True)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...config import Config
-from ...losses import mask_bce_loss, smooth_l1_loss, softmax_ce_loss
+from ...losses import mask_bce_loss, ohem_select, smooth_l1_loss, softmax_ce_loss
 from ...ops import anchors as anchor_lib
 from ...ops import boxes as box_lib
 from ...ops import matching, nms as nms_lib
@@ -336,16 +336,35 @@ def rcnn_loss(outputs: dict, tb: dict, rng: Array, cfg: Config) -> tuple[Array, 
         w = c.cascade.stage_loss_weights[i] if c.cascade else 1.0
 
         def stage_one(cls_i, deltas_i, labels_i, tgt_i, pos_i, valid_i):
-            cls_loss = softmax_ce_loss(cls_i, labels_i, valid_i)
+            # per-roi losses (kept unreduced so OHEM can rank them)
+            logp = jax.nn.log_softmax(cls_i, axis=-1)
+            safe = jnp.clip(labels_i, 0, num_classes)
+            nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
+            nll = jnp.where(valid_i, nll, 0.0)
+
             if deltas_i.shape[-1] == 4:
                 d = deltas_i
             else:
                 dr = deltas_i.reshape(deltas_i.shape[0], num_classes + 1, 4)
                 idx = jnp.clip(labels_i, 0, num_classes)[:, None, None]
                 d = jnp.take_along_axis(dr, idx, axis=1)[:, 0]
-            l1 = smooth_l1_loss(d, tgt_i, beta=c.bbox_head.smooth_l1_beta)
+            l1 = jnp.sum(smooth_l1_loss(d, tgt_i, beta=c.bbox_head.smooth_l1_beta),
+                         axis=-1)
+            l1 = jnp.where(pos_i, l1, 0.0)
+
+            if c.bbox_head.ohem:
+                # reference OHEM semantics: rank rois by total loss, keep the
+                # hardest ohem_keep for the backward pass
+                keep = ohem_select(nll + l1, valid_i, c.bbox_head.ohem_keep)
+                keep = jax.lax.stop_gradient(keep)
+                norm = jnp.maximum(jnp.sum(keep), 1).astype(jnp.float32)
+                cls_loss = jnp.sum(jnp.where(keep, nll, 0.0)) / norm
+                reg_loss = jnp.sum(jnp.where(keep & pos_i, l1, 0.0)) / norm
+            else:
+                norm = jnp.maximum(jnp.sum(valid_i), 1).astype(jnp.float32)
+                cls_loss = jnp.sum(nll) / norm
+                reg_loss = jnp.sum(l1) / norm
             n_valid = jnp.maximum(jnp.sum(valid_i), 1).astype(jnp.float32)
-            reg_loss = jnp.sum(jnp.where(pos_i[:, None], l1, 0.0)) / n_valid
             acc = jnp.sum(jnp.where(
                 valid_i, (jnp.argmax(cls_i, -1) == labels_i), 0)) / n_valid
             return cls_loss, reg_loss, acc

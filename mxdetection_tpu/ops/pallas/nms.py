@@ -37,14 +37,21 @@ def _nms_kernel(coords_ref, valid_ref, keep_ref, *, iou_thr: float, n: int):
 
     keep_ref[:, :] = valid_ref[:, :]
 
+    # Mosaic cannot load a single lane at a dynamic index, so "box i" scalars
+    # are extracted with masked reductions (one-hot select + max) — pure
+    # lane-parallel VPU work, ~6 extra O(N) passes per step.
+    def pick(row, onehot):
+        return jnp.max(jnp.where(onehot, row, -jnp.inf), axis=1, keepdims=True)
+
     def body(i, _):
-        # box i (scalar broadcast against all N)
-        bx1 = x1[0, i]
-        by1 = y1[0, i]
-        bx2 = x2[0, i]
-        by2 = y2[0, i]
-        barea = area[0, i]
-        alive_i = keep_ref[0, i] > 0
+        onehot = col == i  # (1, N)
+        bx1 = pick(x1, onehot)
+        by1 = pick(y1, onehot)
+        bx2 = pick(x2, onehot)
+        by2 = pick(y2, onehot)
+        barea = pick(area, onehot)
+        alive_i = jnp.max(jnp.where(onehot, keep_ref[:, :], 0), axis=1,
+                          keepdims=True) > 0  # (1, 1)
 
         iw = jnp.maximum(jnp.minimum(x2, bx2) - jnp.maximum(x1, bx1), 0.0)
         ih = jnp.maximum(jnp.minimum(y2, by2) - jnp.maximum(y1, by1), 0.0)
