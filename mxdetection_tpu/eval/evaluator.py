@@ -82,10 +82,20 @@ class Evaluator:
         d = cfg.data
         pad_hw = (d.pad_h, d.pad_w)
 
-        def forward(variables, batch):
+        # TTA variants: (scale_size, flip). Reference: multi-scale + hflip
+        # test with box merging (SURVEY.md §2.2 "Multi-scale / flip test").
+        self.tta_variants = [(d.scale, False)]
+        for s in cfg.test.scales_tta:
+            if s != d.scale:
+                self.tta_variants.append((int(s), False))
+        if cfg.test.flip_tta:
+            self.tta_variants += [(s, True) for (s, _) in list(self.tta_variants)]
+
+        def forward(variables, batch, scale_size=d.scale, flip=False):
+            flips = jnp.full_like(batch["flip"], flip) if flip else batch["flip"]
             tb = batch_transform(
-                batch["raw"], batch["hw"], batch["flip"], batch["gt_boxes"],
-                out_hw=pad_hw, scale_size=d.scale, max_size=d.max_size,
+                batch["raw"], batch["hw"], flips, batch["gt_boxes"],
+                out_hw=pad_hw, scale_size=scale_size, max_size=d.max_size,
                 mean=d.mean, std=d.std, dtype=jnp.dtype(cfg.backbone.dtype))
             out = bundle.apply_eval(variables, tb)
             dets = bundle.postprocess(out, cfg, pad_hw, tb["im_info"])
@@ -100,7 +110,34 @@ class Evaluator:
                 dets["masks"] = jax.nn.sigmoid(sel)
             return dets
 
-        self.forward = jax.jit(forward)
+        self.forward = jax.jit(forward, static_argnames=("scale_size", "flip"))
+
+        def merge_tta(det_list, im_w):
+            """Merge per-variant detections: unflip, concat, final NMS."""
+            from ..ops import boxes as box_lib
+            from ..ops import nms as nms_lib
+            t = cfg.test
+
+            def one(boxes, scores, labels, valid, w):
+                b2, s2, l2, v2 = nms_lib.class_aware_nms(
+                    boxes, scores, labels, t.nms_thr, t.max_per_image,
+                    valid=valid, score_thr=t.score_thr)
+                return {"boxes": b2, "scores": s2, "labels": l2, "valid": v2}
+
+            parts = {"boxes": [], "scores": [], "labels": [], "valid": []}
+            for (_, flip), dets in zip(self.tta_variants, det_list):
+                b = dets["boxes"]
+                if flip:
+                    b = jax.vmap(lambda bb, w: box_lib.flip_boxes(bb, w))(b, im_w)
+                parts["boxes"].append(b)
+                parts["scores"].append(dets["scores"])
+                parts["labels"].append(dets["labels"])
+                parts["valid"].append(dets["valid"])
+            merged = {k: jnp.concatenate(v, axis=1) for k, v in parts.items()}
+            return jax.vmap(one)(merged["boxes"], merged["scores"],
+                                 merged["labels"], merged["valid"], im_w)
+
+        self.merge_tta = jax.jit(merge_tta)
 
     def run(self, max_images: int | None = None, verbose: bool = True) -> dict:
         from .rle import encode_rle
@@ -115,7 +152,14 @@ class Evaluator:
         n_done = 0
         t0 = time.time()
         for batch in self.loader.epoch(0):
-            dets = jax.device_get(self.forward(self.variables, batch))
+            if len(self.tta_variants) > 1:
+                per_variant = [self.forward(self.variables, batch,
+                                            scale_size=s, flip=f)
+                               for (s, f) in self.tta_variants]
+                im_w = jnp.asarray(batch["hw"][:, 1])
+                dets = jax.device_get(self.merge_tta(per_variant, im_w))
+            else:
+                dets = jax.device_get(self.forward(self.variables, batch))
             for i in range(len(batch["image_ids"])):
                 if max_images is not None and n_done >= max_images:
                     break
