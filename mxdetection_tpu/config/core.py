@@ -137,6 +137,11 @@ class DataCfg:
     # static-shape contract: short side resized to scale, long side capped,
     # then padded to (max_h, max_w) (multiples of 128 for TPU layout health)
     scale: int = 800
+    # multi-scale training: if non-empty, the short side is drawn uniformly
+    # from these per image (reference family's random short-side choice,
+    # SURVEY.md §5.7) — dynamic scale is a traced value, so this costs zero
+    # recompilation with the fused scale_and_translate transform
+    train_scales: Tuple[int, ...] = _tup()
     max_size: int = 1333
     pad_h: int = 832
     pad_w: int = 1344

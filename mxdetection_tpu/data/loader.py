@@ -37,7 +37,8 @@ class DetectionLoader:
                  shuffle: bool = True, flip: bool = True, seed: int = 0,
                  num_workers: int = 4, prefetch: int = 4,
                  num_shards: int = 1, shard_index: int = 0,
-                 with_masks: bool = False, drop_last: bool = True):
+                 with_masks: bool = False, drop_last: bool = True,
+                 train_scales: tuple = ()):
         self.ds = dataset
         self.batch_size = batch_size
         self.raw_hw = raw_hw
@@ -49,6 +50,7 @@ class DetectionLoader:
         self.prefetch = prefetch
         self.with_masks = with_masks
         self.drop_last = drop_last
+        self.train_scales = tuple(train_scales)
 
         idx = np.arange(len(dataset))
         self.indices = idx[shard_index::num_shards]
@@ -116,6 +118,10 @@ class DetectionLoader:
         if self.shuffle:
             rng.shuffle(order)
         flips = rng.rand(len(order)) < 0.5 if self.flip else np.zeros(len(order), bool)
+        if self.train_scales:
+            scale_choices = rng.choice(self.train_scales, size=len(order)).astype(np.float32)
+        else:
+            scale_choices = None
 
         nb = self.steps_per_epoch()
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -137,6 +143,12 @@ class DetectionLoader:
                                for i, f in zip(batch_idx, batch_flip)]
                     batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
                     batch["image_ids"] = batch.pop("image_id")
+                    if scale_choices is not None:
+                        sc = scale_choices[sl]
+                        if len(sc) < self.batch_size:
+                            sc = np.concatenate(
+                                [sc, scale_choices[: self.batch_size - len(sc)]])
+                        batch["scale_size"] = sc
                     q.put(batch)
             finally:
                 q.put(None)

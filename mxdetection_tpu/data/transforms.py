@@ -101,20 +101,26 @@ def batch_transform(
     mean: tuple,
     std: tuple,
     dtype=jnp.bfloat16,
+    scale_sizes: Array | None = None,  # (B,) per-image short-side targets
 ) -> dict:
     """Fused per-batch transform -> dict(images, gt_boxes, im_info).
 
     im_info rows are (orig_h, orig_w, scale) — the reference's convention
     (``im_info`` threaded through every symbol; SURVEY.md §3.1).
+    ``scale_sizes`` enables multi-scale training: the short-side target is a
+    traced per-image value, so random scales never retrace.
     """
-    def one(r, s_hw, f, gtb):
+    if scale_sizes is None:
+        scale_sizes = jnp.full(raw.shape[:1], scale_size, jnp.float32)
+
+    def one(r, s_hw, f, gtb, ss):
         img, scale = fused_image_transform(
-            r, s_hw, f, out_hw=out_hw, scale_size=scale_size, max_size=max_size,
+            r, s_hw, f, out_hw=out_hw, scale_size=ss, max_size=max_size,
             mean=mean, std=std, dtype=dtype)
         new_w = s_hw[1] * scale
         gtb = transform_gt(gtb, scale, f, new_w)
         info = jnp.stack([s_hw[0], s_hw[1], scale])
         return img, gtb, info
 
-    imgs, gtb, info = jax.vmap(one)(raw, hw, flip, gt_boxes)
+    imgs, gtb, info = jax.vmap(one)(raw, hw, flip, gt_boxes, scale_sizes)
     return {"images": imgs, "gt_boxes": gtb, "im_info": info}

@@ -140,30 +140,34 @@ class RCNN(nn.Module):
         c = self.cfg
         images = tb["images"]
         b = images.shape[0]
-        pyramid = self.extract(images)
-        rpn_cls, rpn_reg = self.rpn(pyramid)
+        with jax.named_scope("backbone_fpn"):
+            pyramid = self.extract(images)
+        with jax.named_scope("rpn_head"):
+            rpn_cls, rpn_reg = self.rpn(pyramid)
 
         pad_hw = (images.shape[1], images.shape[2])
         anchors = rpn_level_anchors(c, pad_hw)
         resized_hw = tb["im_info"][:, :2] * tb["im_info"][:, 2:3]
 
-        rois, roi_scores, roi_valid = generate_proposals(
-            rpn_cls, rpn_reg, anchors, resized_hw,
-            pre_nms_top_n=c.rpn.pre_nms_top_n_train,
-            post_nms_top_n=c.rpn.post_nms_top_n_train,
-            nms_thr=c.rpn.nms_thr, min_box_size=c.rpn.min_box_size,
-            bbox_stds=c.rpn.bbox_stds)
+        with jax.named_scope("proposals"):
+            rois, roi_scores, roi_valid = generate_proposals(
+                rpn_cls, rpn_reg, anchors, resized_hw,
+                pre_nms_top_n=c.rpn.pre_nms_top_n_train,
+                post_nms_top_n=c.rpn.post_nms_top_n_train,
+                nms_thr=c.rpn.nms_thr, min_box_size=c.rpn.min_box_size,
+                bbox_stds=c.rpn.bbox_stds)
 
         gt_labels1 = jnp.where(tb["gt_valid"], tb["gt_labels"] + 1, 0)
 
         h = c.bbox_head
         keys = jax.random.split(rng, b)
-        sampled = jax.vmap(lambda k, p, pv, gb, gl, gv: matching.sample_rois(
-            k, p, pv, gb, gl, gv,
-            num_samples=h.num_samples, pos_fraction=h.pos_fraction,
-            pos_iou_thr=h.pos_iou_thr, neg_iou_thr_hi=h.neg_iou_thr_hi,
-            neg_iou_thr_lo=h.neg_iou_thr_lo,
-        ))(keys, rois, roi_valid, tb["gt_boxes"], gt_labels1, tb["gt_valid"])
+        with jax.named_scope("proposal_target"):
+            sampled = jax.vmap(lambda k, p, pv, gb, gl, gv: matching.sample_rois(
+                k, p, pv, gb, gl, gv,
+                num_samples=h.num_samples, pos_fraction=h.pos_fraction,
+                pos_iou_thr=h.pos_iou_thr, neg_iou_thr_hi=h.neg_iou_thr_hi,
+                neg_iou_thr_lo=h.neg_iou_thr_lo,
+            ))(keys, rois, roi_valid, tb["gt_boxes"], gt_labels1, tb["gt_valid"])
 
         n_stages = c.cascade.num_stages if c.cascade else 1
         stage_rois = sampled.rois

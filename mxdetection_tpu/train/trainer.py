@@ -89,6 +89,7 @@ def make_train_step(
             batch["raw"], batch["hw"], batch["flip"], batch["gt_boxes"],
             out_hw=(d.pad_h, d.pad_w), scale_size=d.scale, max_size=d.max_size,
             mean=d.mean, std=d.std, dtype=jnp.dtype(cfg.backbone.dtype),
+            scale_sizes=batch.get("scale_size"),
         )
         tb["gt_labels"] = batch["gt_labels"]
         tb["gt_valid"] = batch["gt_valid"]
