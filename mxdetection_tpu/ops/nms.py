@@ -61,16 +61,57 @@ def _topk_padded(scores: Array, k: int) -> tuple[Array, Array]:
     return jax.lax.top_k(scores, k)
 
 
-def _use_pallas() -> bool:
-    """Route to the Pallas kernel on TPU (override with MXDET_NMS_IMPL)."""
+def nms_mask_fixpoint(boxes: Array, scores: Array, iou_thr: float,
+                      valid: Array | None = None) -> Array:
+    """Exact greedy NMS as a Jacobi fixpoint of MXU matvecs.
+
+    Greedy keep satisfies the unique recurrence
+        keep[j] = valid[j] and no kept i with score[i]>score[j] overlaps j.
+    Jacobi-iterating ``keep <- valid & (M @ keep == 0)`` (M[j,i] = 1 iff
+    suppressor candidate i<j overlaps j) from keep=valid converges to that
+    unique fixpoint in O(suppression-chain-depth) iterations — typically <10 —
+    instead of N sequential steps. Each iteration is ONE (N,N)x(N,1) matmul on
+    the MXU, which is why this formulation wins on TPU (the design SURVEY.md
+    §7.3.2 calls the "iterative-suppression formulation").
+    """
+    n = boxes.shape[0]
+    order = jnp.argsort(-scores)
+    boxes_s = boxes[order]
+    if valid is None:
+        valid_s = jnp.ones((n,), bool)
+    else:
+        valid_s = valid[order]
+
+    iou = pairwise_iou(boxes_s, boxes_s)
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)  # j (suppressee)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)  # i (suppressor)
+    m = ((iou > iou_thr) & (col < row) & valid_s[None, :]).astype(jnp.float32)
+
+    def body(state):
+        keep, _, it = state
+        overlap = m @ keep  # (N, 1) MXU matvec
+        new_keep = jnp.where(valid_s[:, None], (overlap == 0).astype(jnp.float32), 0.0)
+        changed = jnp.any(new_keep != keep)
+        return new_keep, changed, it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < n)
+
+    keep0 = valid_s.astype(jnp.float32)[:, None]
+    keep, _, _ = jax.lax.while_loop(cond, body, (keep0, jnp.asarray(True), 0))
+    keep_sorted = keep[:, 0] > 0
+    return jnp.zeros((n,), bool).at[order].set(keep_sorted)
+
+
+def _impl() -> str:
+    """NMS implementation: 'fixpoint' (default on TPU), 'pallas', or 'lax'."""
     import os
 
     impl = os.environ.get("MXDET_NMS_IMPL", "auto")
-    if impl == "pallas":
-        return True
-    if impl == "lax":
-        return False
-    return jax.default_backend() == "tpu"
+    if impl != "auto":
+        return impl
+    return "fixpoint" if jax.default_backend() == "tpu" else "lax"
 
 
 def nms(
@@ -82,7 +123,8 @@ def nms(
     score_thr: float = -jnp.inf,
 ) -> tuple[Array, Array, Array]:
     """NMS returning fixed-size top-``max_out`` (boxes, scores, valid_mask)."""
-    if _use_pallas():
+    impl = _impl()
+    if impl == "pallas":
         from .pallas.nms import nms_pallas
 
         return nms_pallas(boxes, scores, iou_thr, max_out, valid, score_thr)
@@ -90,7 +132,10 @@ def nms(
         valid = jnp.ones(scores.shape, bool)
     valid = valid & (scores > score_thr)
     masked_scores = jnp.where(valid, scores, -jnp.inf)
-    keep = nms_mask(boxes, masked_scores, iou_thr, valid)
+    if impl == "fixpoint":
+        keep = nms_mask_fixpoint(boxes, masked_scores, iou_thr, valid)
+    else:
+        keep = nms_mask(boxes, masked_scores, iou_thr, valid)
     out_scores = jnp.where(keep, masked_scores, -jnp.inf)
     top_scores, idx = _topk_padded(out_scores, max_out)
     idx = jnp.minimum(idx, boxes.shape[0] - 1)
@@ -116,7 +161,8 @@ def class_aware_nms(
     Reference equivalent: the test-time per-class ``py_nms_wrapper`` loop in
     ``*/core/tester.py`` — but one fused pass instead of C python loops.
     """
-    if _use_pallas():
+    impl = _impl()
+    if impl == "pallas":
         from .pallas.nms import class_aware_nms_pallas
 
         return class_aware_nms_pallas(
@@ -127,7 +173,10 @@ def class_aware_nms(
         valid = jnp.ones(scores.shape, bool)
     valid = valid & (scores > score_thr)
     masked_scores = jnp.where(valid, scores, -jnp.inf)
-    keep = nms_mask(shifted, masked_scores, iou_thr, valid)
+    if impl == "fixpoint":
+        keep = nms_mask_fixpoint(shifted, masked_scores, iou_thr, valid)
+    else:
+        keep = nms_mask(shifted, masked_scores, iou_thr, valid)
     out_scores = jnp.where(keep, masked_scores, -jnp.inf)
     top_scores, idx = _topk_padded(out_scores, max_out)
     idx = jnp.minimum(idx, boxes.shape[0] - 1)

@@ -26,7 +26,8 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _nms_kernel(coords_ref, valid_ref, keep_ref, *, iou_thr: float, n: int):
+def _nms_kernel(coords_ref, valid_ref, keep_ref, *, iou_thr: float, n: int,
+                max_keep: int):
     x1 = coords_ref[0:1, :]
     y1 = coords_ref[1:2, :]
     x2 = coords_ref[2:3, :]
@@ -43,15 +44,16 @@ def _nms_kernel(coords_ref, valid_ref, keep_ref, *, iou_thr: float, n: int):
     def pick(row, onehot):
         return jnp.max(jnp.where(onehot, row, -jnp.inf), axis=1, keepdims=True)
 
-    def body(i, _):
+    def body(state):
+        i, kept = state
         onehot = col == i  # (1, N)
         bx1 = pick(x1, onehot)
         by1 = pick(y1, onehot)
         bx2 = pick(x2, onehot)
         by2 = pick(y2, onehot)
         barea = pick(area, onehot)
-        alive_i = jnp.max(jnp.where(onehot, keep_ref[:, :], 0), axis=1,
-                          keepdims=True) > 0  # (1, 1)
+        alive = jnp.max(jnp.where(onehot, keep_ref[:, :], 0))  # scalar 0/1
+        alive_i = alive > 0
 
         iw = jnp.maximum(jnp.minimum(x2, bx2) - jnp.maximum(x1, bx1), 0.0)
         ih = jnp.maximum(jnp.minimum(y2, by2) - jnp.maximum(y1, by1), 0.0)
@@ -61,17 +63,31 @@ def _nms_kernel(coords_ref, valid_ref, keep_ref, *, iou_thr: float, n: int):
 
         suppress = (iou > iou_thr) & (col > i) & alive_i
         keep_ref[:, :] = jnp.where(suppress, 0, keep_ref[:, :])
-        return 0
+        return i + 1, kept + alive
 
-    jax.lax.fori_loop(0, n, body, 0)
+    def cond(state):
+        # Early exit: boxes are score-sorted, so once max_keep boxes are
+        # confirmed kept, every later survivor ranks below them and can never
+        # enter the final top-max_keep selection.
+        i, kept = state
+        return (i < n) & (kept < max_keep)
+
+    # Contract: callers must select at most max_keep survivors by score
+    # (top_k with k == max_keep). On early exit the unprocessed tail may
+    # carry unverified keep=1 entries, but all of them score below the
+    # max_keep confirmed survivors, so a top-max_keep selection is exact.
+    jax.lax.while_loop(cond, body, (0, 0))
 
 
-@functools.partial(jax.jit, static_argnames=("iou_thr", "interpret"))
+@functools.partial(jax.jit, static_argnames=("iou_thr", "max_keep", "interpret"))
 def nms_mask_sorted_pallas(boxes: Array, valid: Array, iou_thr: float,
+                           max_keep: int | None = None,
                            interpret: bool = False) -> Array:
     """boxes (N, 4) SCORE-SORTED desc, valid (N,) bool -> keep (N,) bool.
 
-    N must be a multiple of 128 (pad with valid=False rows).
+    N must be a multiple of 128 (pad with valid=False rows). When ``max_keep``
+    is set, the sweep stops once that many survivors are confirmed; callers
+    must then take at most max_keep survivors by score (see kernel contract).
     """
     n = boxes.shape[0]
     assert n % 128 == 0, "pad candidate set to a lane multiple"
@@ -79,7 +95,8 @@ def nms_mask_sorted_pallas(boxes: Array, valid: Array, iou_thr: float,
     valid_i = valid.astype(jnp.int32).reshape(1, n)
 
     keep = pl.pallas_call(
-        functools.partial(_nms_kernel, iou_thr=float(iou_thr), n=n),
+        functools.partial(_nms_kernel, iou_thr=float(iou_thr), n=n,
+                          max_keep=int(max_keep) if max_keep else n),
         out_shape=jax.ShapeDtypeStruct((1, n), jnp.int32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -113,7 +130,8 @@ def nms_pallas(boxes: Array, scores: Array, iou_thr: float, max_out: int,
 
     boxes_s = _pad_to(boxes[order], n_pad)
     valid_s = _pad_to(valid[order], n_pad)
-    keep_s = nms_mask_sorted_pallas(boxes_s, valid_s, iou_thr, interpret=interpret)
+    keep_s = nms_mask_sorted_pallas(boxes_s, valid_s, iou_thr,
+                                    max_keep=max_out, interpret=interpret)
 
     kept_scores = jnp.where(keep_s[:n], masked[order], -jnp.inf)
     k = min(max_out, n)
@@ -145,7 +163,7 @@ def class_aware_nms_pallas(boxes: Array, scores: Array, labels: Array,
 
     keep_s = nms_mask_sorted_pallas(
         _pad_to(shifted[order], n_pad), _pad_to(valid[order], n_pad),
-        iou_thr, interpret=interpret)
+        iou_thr, max_keep=max_out, interpret=interpret)
 
     kept_scores = jnp.where(keep_s[:n], masked[order], -jnp.inf)
     k = min(max_out, n)
