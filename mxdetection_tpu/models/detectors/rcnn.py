@@ -56,11 +56,34 @@ def _roi_strides(cfg: Config) -> list:
     return [2 ** lv for lv in range(cfg.roi.min_level, cfg.roi.max_level + 1)]
 
 
+def _use_pallas_roi_align() -> bool:
+    """Pallas RoIAlign on TPU for the forward-only (inference) path.
+
+    Override with MXDET_ROIALIGN_IMPL=pallas|xla. The Pallas kernel is
+    forward-only; training keeps the autodiff XLA formulation.
+    """
+    import os
+
+    impl = os.environ.get("MXDET_ROIALIGN_IMPL", "auto")
+    if impl != "auto":
+        return impl == "pallas"
+    return jax.default_backend() == "tpu"
+
+
 def batched_roi_align(pyramid: list, rois: Array, valid: Array, cfg: Config,
-                      out_size: int) -> Array:
+                      out_size: int, inference: bool = False) -> Array:
     """pyramid: P[min..max] each (B, H, W, C); rois (B, S, 4) -> (B, S, P, P, C)."""
     r = cfg.roi
     feats = pyramid[: r.max_level - r.min_level + 1]
+    if inference and _use_pallas_roi_align() and feats[0].shape[-1] % 128 == 0:
+        from ...ops.pallas.roi_align import multilevel_roi_align_pallas
+
+        fn = lambda f, ro, v: multilevel_roi_align_pallas(
+            f, ro, tuple(_roi_strides(cfg)), output_size=out_size,
+            sampling_ratio=r.sampling_ratio, min_level=r.min_level,
+            canonical_scale=r.canonical_scale, canonical_level=r.canonical_level,
+            roi_valid=v)
+        return jax.vmap(fn)(feats, rois, valid)
     fn = lambda f, ro, v: multilevel_roi_align(
         f, ro, _roi_strides(cfg), output_size=out_size,
         sampling_ratio=r.sampling_ratio, min_level=r.min_level,
@@ -252,7 +275,7 @@ class RCNN(nn.Module):
         deltas = None
         for i in range(n_stages):
             roi_feats = batched_roi_align(pyramid, stage_rois, roi_valid, c,
-                                          c.roi.output_size)
+                                          c.roi.output_size, inference=True)
             s = roi_feats.shape[1]
             cls_logits, deltas = self.bbox_heads[i](
                 roi_feats.reshape(b * s, *roi_feats.shape[2:]))
@@ -279,7 +302,8 @@ class RCNN(nn.Module):
         c = self.cfg
         m = c.mask_head
         b, d = det_boxes.shape[:2]
-        feats = batched_roi_align(pyramid, det_boxes, det_valid, c, m.roi_output_size)
+        feats = batched_roi_align(pyramid, det_boxes, det_valid, c,
+                                  m.roi_output_size, inference=True)
         logits = self.mask_head(feats.reshape(b * d, *feats.shape[2:]))
         return logits.reshape(b, d, m.mask_size, m.mask_size, -1)
 

@@ -1,0 +1,294 @@
+"""Pallas TPU kernel: multilevel RoIAlign as windowed DMA + MXU matmuls.
+
+Reference equivalent: MXNet's CUDA ``roi_align.cu`` (one thread per output
+element doing 4-point bilinear reads; SURVEY.md §2.3). A literal translation
+(XLA gather) is the measured bottleneck on TPU — random gathers run ~30x off
+memory speed-of-light. This kernel re-derives RoIAlign as dense linear
+algebra, which is what the hardware wants:
+
+  Bilinear sampling on a cartesian sample grid is SEPARABLE: the pooled
+  output of roi r is  out[i, j, c] = sum_{y, x} Wy[i, y] * Wx[j, x] * F[y, x, c]
+  where Wy (P, H) / Wx (P, W) hold each bin's averaged bilinear row/column
+  weights. Restricted to a bounding window, that's one strided DMA plus two
+  tiny matmul-shaped contractions per roi — zero gathers, MXU/VPU compute.
+
+Window coverage: FPN level assignment bounds sqrt(w*h) but NOT the max side,
+so extreme-aspect rois can exceed one window axis. Coverage is therefore
+multi-pass: pass (py, px) covers the disjoint cell range
+[y0 + py*WIN_Y, y0 + (py+1)*WIN_Y) x [x0 + px*WIN_X, ...), with weights
+masked to that range (contributions are additive across passes, so outputs
+simply sum). Rois that don't reach a pass's range skip its DMA and compute
+entirely, so extra passes are nearly free. 2x2 passes cover 112x96 cells —
+aspect ratios beyond ~24:1 are truncated (documented; beyond any COCO box).
+
+Grid = one program per roi, double-buffered: roi r+1's window DMA overlaps
+roi r's compute. Mosaic constraints shape the code: no in-kernel reshapes
+(levels are pre-flattened to (H, W*C)), dynamic DMA row offsets 8-aligned
+(pl.multiple_of), lane offsets C-aligned.
+
+Forward-only (inference hot path). Training uses the autodiff-friendly XLA
+formulation in ``ops/roi_align.py``; both are tested against the same golden
+numpy (tests/test_pallas_roi_align.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..roi_align import fpn_level_assign
+
+Array = jax.Array
+
+WIN_X = 48   # covers level-assigned sqrt-extent (~44 cells) per pass
+WIN_Y = 56   # WIN_X + sublane alignment slack (row starts are 8-aligned)
+NUM_PASSES_Y = 2
+NUM_PASSES_X = 3
+_CHUNK = 512  # SMEM fills at ~1KB/grid-step; cap steps per kernel launch
+
+# float scalar layout per roi (flt_ref columns)
+_F_Y1, _F_X1, _F_BH, _F_BW = 0, 1, 2, 3
+_F_YLO, _F_YHI, _F_XLO, _F_XHI = 4, 5, 6, 7
+_F_VALID = 8
+_F_YRLO, _F_YRHI, _F_XRLO, _F_XRHI = 9, 10, 11, 12
+_NUM_F = 13
+
+
+def _kernel(int_ref, flt_ref, *refs, num_levels: int, out_size: int,
+            sampling_ratio: int, c: int, r_total: int):
+    level_refs = refs[:num_levels]
+    out_ref = refs[num_levels]
+    win, wy_scr, wx_scr, sems = refs[num_levels + 1:]
+
+    r = pl.program_id(0)
+    s = sampling_ratio
+
+    def make_dma(slot, ridx, lref):
+        y0 = pl.multiple_of(int_ref[ridx, 1], 8)
+        x0c = pl.multiple_of(int_ref[ridx, 2], 128)
+        return pltpu.make_async_copy(
+            lref.at[pl.ds(y0, WIN_Y), pl.ds(x0c, WIN_X * c)],
+            win.at[slot], sems.at[slot])
+
+    def start_dma(slot, ridx):
+        @pl.when(int_ref[ridx, 3] > 0)  # active flag: skipped passes don't DMA
+        def _():
+            lvl = int_ref[ridx, 0]
+            for li in range(num_levels):
+                @pl.when(lvl == li)
+                def _():
+                    make_dma(slot, ridx, level_refs[li]).start()
+
+    cur = jax.lax.rem(r, 2)
+    nxt = jax.lax.rem(r + 1, 2)
+
+    @pl.when(r == 0)
+    def _():
+        start_dma(0, 0)
+
+    @pl.when(r + 1 < r_total)
+    def _():
+        start_dma(nxt, r + 1)
+
+    active = int_ref[r, 3] > 0
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        out_ref[:, :, :] = jnp.zeros_like(out_ref)
+
+    @pl.when(active)
+    def _():
+        make_dma(cur, r, level_refs[0]).wait()
+
+        def accum_weights(scr, start, binsz, lo_b, hi_b, rlo, rhi, width):
+            # fully vectorized over (bin, cell): ~12 VPU ops per sample point
+            cells = jax.lax.broadcasted_iota(
+                jnp.int32, (out_size, width), 1).astype(jnp.float32)
+            bins = jax.lax.broadcasted_iota(
+                jnp.int32, (out_size, width), 0).astype(jnp.float32)
+            in_range = jnp.where((cells >= rlo) & (cells < rhi), 1.0, 0.0)
+            inv_s = 1.0 / s
+            acc = jnp.zeros((out_size, width), jnp.float32)
+            for p in range(s):
+                coord = start + (bins + (p + 0.5) * inv_s) * binsz  # (P, W)
+                inside = jnp.where((coord >= lo_b - 1.0) & (coord <= hi_b),
+                                   1.0, 0.0)
+                cc = jnp.clip(coord, lo_b, hi_b - 1.0)
+                lo = jnp.floor(cc)
+                frac = cc - lo
+                hi = jnp.minimum(lo + 1.0, hi_b - 1.0)
+                acc = acc + inside * inv_s * (
+                    jnp.where(cells == lo, 1.0 - frac, 0.0)
+                    + jnp.where(cells == hi, frac, 0.0))
+            scr[:, :] = acc * in_range
+
+        f = lambda k: flt_ref[r, k]
+        accum_weights(wy_scr, f(_F_Y1), f(_F_BH), f(_F_YLO), f(_F_YHI),
+                      f(_F_YRLO), f(_F_YRHI), WIN_Y)
+        accum_weights(wx_scr, f(_F_X1), f(_F_BW), f(_F_XLO), f(_F_XHI),
+                      f(_F_XRLO), f(_F_XRHI), WIN_X)
+        validf = f(_F_VALID)
+
+        # step 1 (y-contraction): ONE MXU matmul (P, WIN_Y) @ (WIN_Y, WIN_X*C)
+        w2 = win[cur]
+        t1 = jax.lax.dot_general(
+            wy_scr[:, :].astype(w2.dtype), w2,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (P, WIN_X*C) f32
+        # step 2 (x-contraction): lane-sliced FMAs at static C-multiples
+        accs = [jnp.zeros((out_size, c), jnp.float32) for _ in range(out_size)]
+        for x in range(WIN_X):
+            t1_x = t1[:, x * c:(x + 1) * c]
+            for j in range(out_size):
+                accs[j] = accs[j] + wx_scr[j, x] * t1_x
+        for i in range(out_size):
+            for j in range(out_size):
+                row = i * out_size + j
+                out_ref[0, row:row + 1, :] = (
+                    accs[j][i:i + 1, :] * validf).astype(out_ref.dtype)
+        for row in range(out_size * out_size, out_ref.shape[1]):
+            out_ref[0, row:row + 1, :] = jnp.zeros((1, c), out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("strides", "output_size", "sampling_ratio", "min_level",
+                     "canonical_scale", "canonical_level", "interpret"))
+def multilevel_roi_align_pallas(
+    features: Sequence[Array],
+    rois: Array,
+    strides: tuple,
+    *,
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    min_level: int = 2,
+    canonical_scale: float = 224.0,
+    canonical_level: int = 4,
+    roi_valid: Array | None = None,
+    interpret: bool = False,
+) -> Array:
+    """Same contract as ``ops.roi_align.multilevel_roi_align`` (avg mode)."""
+    num_levels = len(features)
+    c = features[0].shape[-1]
+    assert c % 128 == 0, "channel count must be lane-aligned for the kernel"
+    r_total = rois.shape[0]
+    dtype = features[0].dtype
+
+    if num_levels == 1:
+        levels = jnp.zeros((r_total,), jnp.int32)
+    else:
+        levels = fpn_level_assign(
+            rois, min_level=min_level, max_level=min_level + num_levels - 1,
+            canonical_scale=canonical_scale, canonical_level=canonical_level,
+        ) - min_level
+    if roi_valid is None:
+        roi_valid = jnp.ones((r_total,), bool)
+
+    # pad levels to >= one window, flatten to 2D (H, W*C) — kernel is reshape-free
+    padded = []
+    dims = []
+    for feat in features:
+        h, w = feat.shape[:2]
+        dims.append((h, w))
+        ph = max(WIN_Y - h, 0)
+        pw = max(WIN_X - w, 0)
+        if ph or pw:
+            feat = jnp.pad(feat, ((0, ph), (0, pw), (0, 0)))
+        padded.append(feat.reshape(feat.shape[0], feat.shape[1] * c))
+
+    h_arr = jnp.asarray([d[0] for d in dims], jnp.float32)[levels]
+    w_arr = jnp.asarray([d[1] for d in dims], jnp.float32)[levels]
+    hp_arr = jnp.asarray([p.shape[0] for p in padded], jnp.float32)[levels]
+    wp_arr = jnp.asarray([p.shape[1] // c for p in padded], jnp.float32)[levels]
+    stride_arr = jnp.asarray(strides, jnp.float32)[levels]
+
+    scale = 1.0 / stride_arr
+    x1 = rois[:, 0] * scale
+    y1 = rois[:, 1] * scale
+    roi_w = jnp.maximum(rois[:, 2] * scale - x1, 1.0)
+    roi_h = jnp.maximum(rois[:, 3] * scale - y1, 1.0)
+
+    # base (pass 0) window origin; rows 8-aligned for the DMA
+    y0b = jnp.clip(jnp.floor(y1 / 8.0) * 8.0, 0, jnp.maximum(hp_arr - WIN_Y, 0))
+    x0b = jnp.clip(jnp.floor(x1), 0, jnp.maximum(wp_arr - WIN_X, 0))
+
+    out_rows = -(-(output_size * output_size) // 8) * 8
+
+    def run_kernel(ints, flts, n):
+        outs = []
+        for lo in range(0, n, _CHUNK):
+            hi = min(lo + _CHUNK, n)
+            m = hi - lo
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(m,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * num_levels,
+                out_specs=pl.BlockSpec((1, out_rows, c),
+                                       lambda r, *_: (r, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((2, WIN_Y, WIN_X * c), dtype),
+                    pltpu.VMEM((output_size, WIN_Y), jnp.float32),
+                    pltpu.VMEM((output_size, WIN_X), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+            )
+            outs.append(pl.pallas_call(
+                functools.partial(
+                    _kernel, num_levels=num_levels, out_size=output_size,
+                    sampling_ratio=sampling_ratio, c=c, r_total=m),
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((m, out_rows, c), dtype),
+                interpret=interpret,
+            )(ints[lo:hi], flts[lo:hi], *padded))
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+    def pass_scalars(py, px):
+        """Scalar arrays + active mask for coverage pass (py, px)."""
+        range_y0 = y0b + py * WIN_Y
+        range_x0 = x0b + px * WIN_X
+        # DMA origin (clipped into the level; weight range masking keeps the
+        # covered cell set disjoint across passes)
+        sy = jnp.clip(range_y0, 0, jnp.maximum(hp_arr - WIN_Y, 0))
+        sx = jnp.clip(range_x0, 0, jnp.maximum(wp_arr - WIN_X, 0))
+        need_y = (y1 + roi_h + 1.0) >= range_y0 if py else jnp.ones_like(y1, bool)
+        need_x = (x1 + roi_w + 1.0) >= range_x0 if px else jnp.ones_like(x1, bool)
+        exists = (range_y0 < h_arr) & (range_x0 < w_arr)
+        active = roi_valid & need_y & need_x & exists
+        ints = jnp.stack([
+            levels, sy.astype(jnp.int32), sx.astype(jnp.int32) * c,
+            active.astype(jnp.int32)], axis=1)
+        flts = jnp.stack([
+            y1 - sy, x1 - sx,
+            roi_h / output_size, roi_w / output_size,
+            -sy, h_arr - sy,
+            -sx, w_arr - sx,
+            roi_valid.astype(jnp.float32),
+            range_y0 - sy, range_y0 - sy + WIN_Y,
+            range_x0 - sx, range_x0 - sx + WIN_X,
+        ], axis=1)
+        return ints, flts, active
+
+    # base pass: every roi
+    ints0, flts0, _ = pass_scalars(0, 0)
+    total = run_kernel(ints0, flts0, r_total)
+
+    # extra coverage passes (extreme-aspect rois only): compact the few
+    # active rois into a small budget, run the kernel on those, scatter-add
+    budget = min(r_total, max(64, -(-r_total // 8 // 8) * 8))
+    for py in range(NUM_PASSES_Y):
+        for px in range(NUM_PASSES_X):
+            if py == 0 and px == 0:
+                continue
+            ints_p, flts_p, active = pass_scalars(py, px)
+            _, sel = jax.lax.top_k(active.astype(jnp.float32), budget)
+            part = run_kernel(ints_p[sel], flts_p[sel], budget)
+            total = total.at[sel].add(part)
+
+    return total[:, :output_size * output_size, :].reshape(
+        r_total, output_size, output_size, c)

@@ -24,12 +24,21 @@ from mxdetection_tpu.models.detectors.rcnn import (
 from mxdetection_tpu.ops.proposals import generate_proposals
 
 
+def reduce_tiny(out):
+    """Collapse any output pytree to one scalar so device_get forces full
+    computation but transfers ~4 bytes (the tunnel makes big transfers slow,
+    which would otherwise contaminate the timing)."""
+    leaves = [jnp.sum(l.astype(jnp.float32)) if hasattr(l, "astype") else 0.0
+              for l in jax.tree.leaves(out)]
+    return sum(leaves)
+
+
 def timed(name, fn, *args, iters=10):
     out = fn(*args)
-    jax.device_get(jax.tree.leaves(out)[0])
+    jax.device_get(reduce_tiny(out))
     t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(iters)]
-    jax.device_get([jax.tree.leaves(o)[0] for o in outs])
+    scalars = [reduce_tiny(fn(*args)) for _ in range(iters)]
+    jax.device_get(scalars)
     dt = (time.perf_counter() - t0) / iters * 1000
     print(f"{name:<28} {dt:8.2f} ms")
     return out
