@@ -66,11 +66,49 @@ def mask_iou_matrix(dt_masks, gt_masks, iscrowd) -> np.ndarray:
     return out
 
 
+def _native_matcher():
+    """ctypes handle for native/coco_match.cpp (None if unavailable)."""
+    global _NATIVE_MATCH
+    if _NATIVE_MATCH is not None:
+        return _NATIVE_MATCH or None
+    import ctypes
+    import os
+    import subprocess
+
+    native_dir = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+    lib_path = os.path.join(native_dir, "libcocomatch.so")
+    if not os.path.exists(lib_path):
+        try:
+            subprocess.run(["make", "-C", native_dir], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            _NATIVE_MATCH = False
+            return None
+    try:
+        lib = ctypes.CDLL(lib_path)
+    except OSError:
+        _NATIVE_MATCH = False
+        return None
+    dp = ctypes.POINTER(ctypes.c_double)
+    up = ctypes.POINTER(ctypes.c_uint8)
+    lp = ctypes.POINTER(ctypes.c_int64)
+    lib.coco_match.restype = None
+    lib.coco_match.argtypes = [dp, ctypes.c_int, ctypes.c_int, up, up,
+                               dp, ctypes.c_int, lp, up, lp]
+    _NATIVE_MATCH = lib
+    return lib
+
+
+_NATIVE_MATCH = None
+
+
 def _match_image_category(dt_scores, ious, gt_ignore, gt_iscrowd, thrs):
     """Greedy COCO matching for one (image, category).
 
     dt must already be score-sorted desc. Returns (dt_matched_gt (T, D) int
     [-1 = unmatched], dt_ignored (T, D) bool) for each IoU threshold.
+    Dispatches to the C++ core (native/coco_match.cpp) when built; the python
+    loop below is the tested reference implementation.
     """
     d = len(dt_scores)
     g = ious.shape[1] if d else 0
@@ -79,6 +117,26 @@ def _match_image_category(dt_scores, ious, gt_ignore, gt_iscrowd, thrs):
     dt_ig = np.zeros((t, d), bool)
     if d == 0:
         return dtm, dt_ig
+
+    lib = _native_matcher()
+    if lib is not None:
+        import ctypes
+        ious_c = np.ascontiguousarray(ious, np.float64)
+        gi = np.ascontiguousarray(gt_ignore, np.uint8)
+        gc = np.ascontiguousarray(gt_iscrowd, np.uint8)
+        th = np.ascontiguousarray(thrs, np.float64)
+        out_ig = np.zeros((t, d), np.uint8)
+        gtm = np.zeros((max(g, 1),), np.int64)
+        lib.coco_match(
+            ious_c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), d, g,
+            gi.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            gc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            th.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), t,
+            dtm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out_ig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            gtm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        return dtm, out_ig.astype(bool)
+
     for ti, thr in enumerate(thrs):
         gtm = np.full((g,), -1, np.int64)
         for di in range(d):
