@@ -28,6 +28,9 @@ class BackboneCfg:
     norm: str = "frozen_bn"               # frozen_bn | sync_bn | bn | gn
     dcn_stages: Tuple[bool, ...] = _tup(False, False, False, False)
     dtype: str = "bfloat16"               # compute dtype; params stay fp32
+    # rematerialize backbone blocks in the backward pass (trade FLOPs for
+    # HBM: enables larger per-chip batches; SURVEY.md HBM-bandwidth note)
+    remat: bool = False
 
 
 @dataclass(frozen=True)

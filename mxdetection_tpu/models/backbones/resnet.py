@@ -97,6 +97,7 @@ class ResNet(nn.Module):
     dcn_stages: Sequence[bool] = (False, False, False, False)
     train: bool = True
     dtype: Any = jnp.bfloat16
+    remat: bool = False           # checkpoint each bottleneck (memory vs FLOPs)
 
     @nn.compact
     def __call__(self, x: Array) -> tuple:
@@ -116,10 +117,11 @@ class ResNet(nn.Module):
         outs = []
         blocks = STAGE_BLOCKS[self.depth]
         widths = (64, 128, 256, 512)
+        block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
         for stage in range(4):
             stride = 1 if stage == 0 else 2
             for b in range(blocks[stage]):
-                x = Bottleneck(
+                x = block_cls(
                     channels=widths[stage],
                     stride=stride if b == 0 else 1,
                     use_dcn=self.dcn_stages[stage],

@@ -124,7 +124,8 @@ class RCNN(nn.Module):
         self.backbone = ResNet(
             depth=c.backbone.depth, norm_kind=c.backbone.norm,
             frozen_stages=c.backbone.frozen_stages, dcn_stages=c.backbone.dcn_stages,
-            train=self.train, dtype=jnp.dtype(c.backbone.dtype), name="backbone")
+            train=self.train, dtype=jnp.dtype(c.backbone.dtype),
+            remat=c.backbone.remat, name="backbone")
         self.fpn = FPN(
             out_channels=c.fpn.out_channels, min_level=c.fpn.min_level,
             max_level=c.fpn.max_level, extra_convs=c.fpn.extra_convs,

@@ -41,6 +41,7 @@ class RetinaNet(nn.Module):
             dcn_stages=c.backbone.dcn_stages,
             train=self.train,
             dtype=jnp.dtype(c.backbone.dtype),
+            remat=c.backbone.remat,
             name="backbone",
         )(images)
         pyramid = FPN(
