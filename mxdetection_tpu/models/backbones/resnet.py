@@ -35,6 +35,7 @@ class DeformConv(nn.Module):
     features: int
     stride: int = 1
     dtype: Any = jnp.bfloat16
+    inference: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -52,7 +53,8 @@ class DeformConv(nn.Module):
             "kernel", nn.initializers.he_normal(), (3, 3, x.shape[-1], self.features), jnp.float32
         )
         out = deform_conv2d_batched(
-            x.astype(self.dtype), offsets, weight.astype(self.dtype), stride=self.stride
+            x.astype(self.dtype), offsets, weight.astype(self.dtype),
+            stride=self.stride, inference=self.inference,
         )
         return out.astype(self.dtype)
 
@@ -65,6 +67,7 @@ class Bottleneck(nn.Module):
     use_dcn: bool = False
     norm: Callable[[], nn.Module] = None
     dtype: Any = jnp.bfloat16
+    inference: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -73,7 +76,8 @@ class Bottleneck(nn.Module):
         out = self.norm(name="bn1")(out)
         out = nn.relu(out)
         if self.use_dcn:
-            out = DeformConv(self.channels, stride=self.stride, dtype=self.dtype, name="conv2")(out)
+            out = DeformConv(self.channels, stride=self.stride, dtype=self.dtype,
+                             inference=self.inference, name="conv2")(out)
         else:
             out = conv(self.channels, 3, self.stride, dtype=self.dtype, name="conv2")(out)
         out = self.norm(name="bn2")(out)
@@ -127,6 +131,7 @@ class ResNet(nn.Module):
                     use_dcn=self.dcn_stages[stage],
                     norm=norm,
                     dtype=self.dtype,
+                    inference=not self.train,
                     name=f"layer{stage + 1}_block{b}",
                 )(x)
             if stage + 1 <= self.frozen_stages:

@@ -141,7 +141,6 @@ def deform_sample_patches_shift(
             acc = jnp.zeros((ho, wo, c), x.dtype)
             for dy in range(-radius, radius + 2):
                 wy = jnp.where(ylo == dy, 1.0 - fy, 0.0) + jnp.where(ylo + 1 == dy, fy, 0.0)
-                any_y = True  # masks are data-dependent; keep all terms
                 for dx in range(-radius, radius + 2):
                     wx = jnp.where(xlo == dx, 1.0 - fx, 0.0) + jnp.where(xlo + 1 == dx, fx, 0.0)
                     m = (wy * wx).astype(x.dtype)
@@ -165,19 +164,38 @@ def _dcn_impl() -> str:
     if impl != "auto":
         return impl
     # measured on v5e (52x84x1024 layer, batch 8): gather 104 ms, XLA
-    # shift-select 120 ms (XLA re-reads HBM per displacement term). A Pallas
-    # VMEM-windowed shift-select is the planned fast path; until then the
-    # gather form is the default everywhere.
-    return "gather"
+    # shift-select 120 ms (HBM re-read per displacement term), Pallas
+    # VMEM-windowed shift-select 78 ms (forward-only; VMEM FMA traffic of the
+    # dense displacement terms is its floor). Gradients still flow through
+    # the gather path, so training keeps gather.
+    return "pallas" if jax.default_backend() == "tpu" else "gather"
 
 
-def deform_conv2d_batched(x, offsets, weight, bias=None, *, stride=1, dilation=1):
-    """vmap over leading batch dim; impl dispatch (shift-select on TPU)."""
+def deform_conv2d_batched(x, offsets, weight, bias=None, *, stride=1, dilation=1,
+                          inference=False):
+    """vmap over leading batch dim; impl dispatch (Pallas kernel on TPU).
+
+    ``inference=True`` enables the forward-only Pallas kernel; the default
+    keeps the differentiable gather formulation (training path).
+    """
     k = weight.shape[0]
     cin, cout = weight.shape[2], weight.shape[3]
     wmat = weight.reshape(k * k * cin, cout)
+    impl = _dcn_impl()
 
-    if _dcn_impl() == "shift":
+    if (inference and impl == "pallas" and stride == 1
+            and cin % 128 == 0 and cout % 128 == 0):
+        from .pallas.dcn import deform_conv2d_pallas
+
+        def one(ab):
+            out = deform_conv2d_pallas(ab[0], ab[1], weight, dilation=dilation)
+            if bias is not None:
+                out = out + bias
+            return out.astype(x.dtype)
+        # lax.map: the kernel's HBM input blocks don't support vmap batching
+        return jax.lax.map(one, (x, offsets))
+
+    if impl == "shift":
         def one(xi, oi):
             patches = deform_sample_patches_shift(
                 xi, oi, kernel=k, stride=stride, dilation=dilation)

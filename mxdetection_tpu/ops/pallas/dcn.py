@@ -1,0 +1,161 @@
+"""Pallas TPU kernel: deformable conv (stride 1) — windowed VMEM shift-select.
+
+Reference equivalent: ``deformable_im2col.cuh`` / ``deformable_convolution.cu``
+(SURVEY.md §2.3). The CUDA design gathers 4 bilinear taps per (position, tap)
+with one thread each; on TPU both the XLA gather translation (104 ms/layer,
+batch 8, stage-3 shape) and an XLA shift-select (120 ms — HBM re-read per
+displacement) are ~25x a plain conv. This kernel keeps an input row-window in
+VMEM and evaluates the bounded-offset shift-select there: per (output row,
+tap), a fori over the (2R+2) integer y-displacements loads one window row and
+applies (2R+2) masked x-shifted FMAs — all VPU work on VMEM-resident data —
+then one MXU matmul per tap against the weight slice.
+
+Offsets are clamped to +-R cells (R=3 default; same documented deviation as
+``ops.dcn.deform_sample_patches_shift``, which is the golden reference for
+this kernel). Stride-2 layers fall back to the gather implementation
+(3 of ~30 DCN layers in R101-DCN).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+BR = 8        # output rows per grid step
+WIN_R = 24    # window rows: BR + (k-1)*dil + 2R + 2 <= 24 for k=3, dil=1, R<=6
+
+
+def _kernel(oy_ref, ox_ref, x_hbm, w_ref, out_ref, win, sem, *,
+            k: int, dil: int, pad: int, radius: int, wo: int, c: int,
+            cout: int, margin: int):
+    b = pl.program_id(0)
+    base = pl.multiple_of(b * BR, 8)
+
+    # window DMA: rows [base, base + WIN_R) of the padded input
+    dma = pltpu.make_async_copy(x_hbm.at[pl.ds(base, WIN_R)], win, sem)
+    dma.start()
+    dma.wait()
+
+    r2 = 2 * radius + 2
+    taps = [(ty, tx) for ty in range(k) for tx in range(k)]
+
+    for i in range(BR):
+        out_acc = jnp.zeros((out_ref.shape[1], cout), jnp.float32)
+        for t, (ty, tx) in enumerate(taps):
+            col = i * 9 + t
+            oy = jnp.clip(oy_ref[:, col:col + 1], -radius, radius)  # (Wq, 1)
+            ox = jnp.clip(ox_ref[:, col:col + 1], -radius, radius)
+            ylo = jnp.floor(oy)
+            fy = oy - ylo
+            xlo = jnp.floor(ox)
+            fx = ox - xlo
+
+            row_base = i + ty * dil + 1  # + (margin - pad - radius) == +1
+            col_base = tx * dil + 1
+
+            # x-masks are dy-invariant: hoist out of the dy loop
+            wxs = [
+                (jnp.where(xlo == dxi - radius, 1.0 - fx, 0.0)
+                 + jnp.where(xlo + 1 == dxi - radius, fx, 0.0))
+                for dxi in range(r2)
+            ]
+
+            def dy_body(dyi, acc):
+                dy = dyi - radius
+                wy = (jnp.where(ylo == dy, 1.0 - fy, 0.0)
+                      + jnp.where(ylo + 1 == dy, fy, 0.0))
+                data_row = win[row_base + dyi, :, :]  # (Wp, C), dynamic dim-0
+                for dxi in range(r2):
+                    m = (wy * wxs[dxi]).astype(data_row.dtype)
+                    sl = data_row[col_base + dxi:col_base + dxi + out_ref.shape[1], :]
+                    acc = acc + m * sl
+                return acc
+
+            # fori over dy keeps live ranges short (full unroll OOMs VMEM);
+            # the VMEM FMA traffic of the (2R+2)^2 dense terms is the cost
+            # floor of this formulation — see module docstring for measured
+            # numbers and the radius/perf trade-off.
+            acc_t = jax.lax.fori_loop(
+                0, r2, dy_body,
+                jnp.zeros((out_ref.shape[1], c), win.dtype))
+
+            w_t = w_ref[t * c:(t + 1) * c, :]  # (C, Cout)
+            out_acc = out_acc + jax.lax.dot_general(
+                acc_t, w_t, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        out_ref[i, :, :] = out_acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "dilation", "radius",
+                                             "interpret"))
+def deform_conv2d_pallas(
+    x: Array,          # (H, W, Cin)
+    offsets: Array,    # (H, W, 2*k*k), (dy, dx) per tap
+    weight: Array,     # (k, k, Cin, Cout)
+    *,
+    kernel: int = 3,
+    dilation: int = 1,
+    radius: int = 3,
+    interpret: bool = False,
+) -> Array:
+    """Stride-1 deformable conv, one image. Offsets clamped to +-radius."""
+    h, w, c = x.shape
+    k = kernel
+    cout = weight.shape[-1]
+    assert c % 128 == 0 and cout % 128 == 0, "channels must be lane-aligned"
+    pad = dilation * (k - 1) // 2
+    margin = pad + radius + 1
+    assert BR + (k - 1) * dilation + 2 * radius + 2 + margin - pad - radius <= WIN_R
+
+    nb = -(-h // BR)
+    hp = nb * BR + WIN_R
+    # extra +8 width so x-slices of length ceil(W/8)*8 never overrun; total
+    # padded width must itself be sublane-aligned for the window DMA
+    wp_total = -(-(w + 2 * margin + 8) // 8) * 8
+    xp = jnp.zeros((hp, wp_total, c), x.dtype)
+    xp = jax.lax.dynamic_update_slice(xp, x, (margin, margin, 0))
+
+    # offsets transposed to (Wq, nb*128): per row-block a 128-lane group
+    # (BR*k*k = 72 used) so in-kernel slices are lane-static and blocks are
+    # lane-aligned
+    wq = -(-w // 8) * 8
+    off = offsets.reshape(h, w, k * k, 2).astype(jnp.float32)
+
+    def pack(o):  # (h, w, 9) -> (wq, nb*128)
+        o = o.transpose(1, 0, 2)                       # (w, h, 9)
+        o = jnp.pad(o, ((0, wq - w), (0, nb * BR - h), (0, 0)))
+        o = o.reshape(wq, nb, BR * k * k)
+        o = jnp.pad(o, ((0, 0), (0, 0), (0, 128 - BR * k * k)))
+        return o.reshape(wq, nb * 128)
+
+    oyt = pack(off[..., 0])
+    oxt = pack(off[..., 1])
+
+    wmat = weight.reshape(k * k * c, cout).astype(x.dtype)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, k=k, dil=dilation, pad=pad, radius=radius,
+                          wo=w, c=c, cout=cout, margin=margin),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((wq, 128), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wq, 128), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BR, wq, cout), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb * BR, wq, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((WIN_R, wp_total, c), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(oyt, oxt, xp, wmat)
+    return out[:h, :w, :]
