@@ -15,14 +15,12 @@ Label convention: (C+1)-way softmax, background = 0, foreground = 1..C
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ...config import Config
-from ...losses import mask_bce_loss, ohem_select, smooth_l1_loss, softmax_ce_loss
+from ...losses import mask_bce_loss, ohem_select, smooth_l1_loss
 from ...ops import anchors as anchor_lib
 from ...ops import boxes as box_lib
 from ...ops import matching, nms as nms_lib

@@ -9,8 +9,6 @@ on-device vmapped step inside the jitted train step (no host sync).
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -20,7 +20,6 @@ scatter-add backward automatically).
 
 from __future__ import annotations
 
-import math
 from typing import Sequence
 
 import jax

@@ -10,10 +10,7 @@ saves are fully-replicated from process 0.
 from __future__ import annotations
 
 import os
-from typing import Any
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from .trainer import TrainState

@@ -11,7 +11,6 @@ mesh. The host only feeds raw uint8 batches and reads back scalar metrics.
 
 from __future__ import annotations
 
-import functools
 import time
 from typing import Any, Callable, NamedTuple
 

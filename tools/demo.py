@@ -110,7 +110,6 @@ def main():
     boxes, scores, labels = dets["boxes"][0][v], dets["scores"][0][v], dets["labels"][0][v]
     masks = None
     if cfg.mask_head is not None:
-        import jax.numpy as jnp2
         logits = bundle.model_eval.apply(
             variables, out["pyramid"],
             jnp.asarray(dets["boxes"] * float(tb["im_info"][0, 2])),

@@ -15,7 +15,6 @@ environments without the real dataset).
 from __future__ import annotations
 
 import argparse
-import logging
 import os
 import sys
 
