@@ -30,7 +30,7 @@ def main():
     from mxdetection_tpu.data.transforms import batch_transform
     from mxdetection_tpu.models.registry import build_detector
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     cfg = load_config("configs/faster_rcnn_r50_fpn_1x.py")
     d = cfg.data
     pad_hw = (d.pad_h, d.pad_w)
