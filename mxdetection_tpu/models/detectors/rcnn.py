@@ -73,15 +73,24 @@ def batched_roi_align(pyramid: list, rois: Array, valid: Array, cfg: Config,
     """pyramid: P[min..max] each (B, H, W, C); rois (B, S, 4) -> (B, S, P, P, C)."""
     r = cfg.roi
     feats = pyramid[: r.max_level - r.min_level + 1]
-    if inference and _use_pallas_roi_align() and feats[0].shape[-1] % 128 == 0:
-        from ...ops.pallas.roi_align import multilevel_roi_align_pallas
+    if _use_pallas_roi_align() and feats[0].shape[-1] % 128 == 0:
+        if inference:
+            from ...ops.pallas.roi_align import multilevel_roi_align_pallas
 
-        fn = lambda f, ro, v: multilevel_roi_align_pallas(
-            f, ro, tuple(_roi_strides(cfg)), output_size=out_size,
+            fn = lambda f, ro, v: multilevel_roi_align_pallas(
+                f, ro, tuple(_roi_strides(cfg)), output_size=out_size,
+                sampling_ratio=r.sampling_ratio, min_level=r.min_level,
+                canonical_scale=r.canonical_scale,
+                canonical_level=r.canonical_level, roi_valid=v)
+            return jax.vmap(fn)(feats, rois, valid)
+        # training: Pallas forward AND backward via custom_vjp
+        from ...ops.pallas.roi_align import make_trainable_roi_align
+
+        fn = make_trainable_roi_align(
+            tuple(_roi_strides(cfg)), output_size=out_size,
             sampling_ratio=r.sampling_ratio, min_level=r.min_level,
-            canonical_scale=r.canonical_scale, canonical_level=r.canonical_level,
-            roi_valid=v)
-        return jax.vmap(fn)(feats, rois, valid)
+            canonical_scale=r.canonical_scale, canonical_level=r.canonical_level)
+        return fn(feats, rois, valid)
     fn = lambda f, ro, v: multilevel_roi_align(
         f, ro, _roi_strides(cfg), output_size=out_size,
         sampling_ratio=r.sampling_ratio, min_level=r.min_level,

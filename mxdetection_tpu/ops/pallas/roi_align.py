@@ -292,3 +292,268 @@ def multilevel_roi_align_pallas(
 
     return total[:, :output_size * output_size, :].reshape(
         r_total, output_size, output_size, c)
+
+
+# ---------------------------------------------------------------------------
+# backward (training): dF accumulation via in-place window DMA
+
+
+def _bwd_kernel(int_ref, flt_ref, *refs, num_levels: int, out_size: int,
+                sampling_ratio: int, c: int, r_total: int):
+    """Per roi: dF_window += WyT @ M, where M[i, x*C+c] = sum_j Wx[j,x] g[i,j,c].
+
+    grad level buffers are aliased inputs/outputs in HBM; the grid is
+    sequential on one core, so read-modify-write windows cannot race, but the
+    accumulate must fully serialize (read wait -> add -> write wait).
+    """
+    # arg order: inputs (g, aliased grad-ins), outputs (grad-outs), scratch.
+    # The aliased output refs are the live buffers for read-modify-write.
+    g_ref = refs[0]
+    grad_refs = refs[1 + num_levels:1 + 2 * num_levels]
+    win, wy_scr, wx_scr, m_scr, sem = refs[1 + 2 * num_levels:]
+
+    r = pl.program_id(0)
+    s = sampling_ratio
+
+    def window_copy(ridx, lref, src_is_hbm):
+        y0 = pl.multiple_of(int_ref[ridx, 1], 8)
+        x0c = pl.multiple_of(int_ref[ridx, 2], 128)
+        window = lref.at[pl.ds(y0, WIN_Y), pl.ds(x0c, WIN_X * c)]
+        if src_is_hbm:
+            return pltpu.make_async_copy(window, win, sem)
+        return pltpu.make_async_copy(win, window, sem)
+
+    active = int_ref[r, 3] > 0
+
+    @pl.when(active)
+    def _():
+        # read current grad window
+        for li in range(num_levels):
+            @pl.when(int_ref[r, 0] == li)
+            def _():
+                cp = window_copy(r, grad_refs[li], True)
+                cp.start()
+                cp.wait()
+
+        def accum_weights(scr, start, binsz, lo_b, hi_b, rlo, rhi, width):
+            cells = jax.lax.broadcasted_iota(
+                jnp.int32, (out_size, width), 1).astype(jnp.float32)
+            bins = jax.lax.broadcasted_iota(
+                jnp.int32, (out_size, width), 0).astype(jnp.float32)
+            in_range = jnp.where((cells >= rlo) & (cells < rhi), 1.0, 0.0)
+            inv_s = 1.0 / s
+            acc = jnp.zeros((out_size, width), jnp.float32)
+            for p in range(s):
+                coord = start + (bins + (p + 0.5) * inv_s) * binsz
+                inside = jnp.where((coord >= lo_b - 1.0) & (coord <= hi_b),
+                                   1.0, 0.0)
+                cc = jnp.clip(coord, lo_b, hi_b - 1.0)
+                lo = jnp.floor(cc)
+                frac = cc - lo
+                hi = jnp.minimum(lo + 1.0, hi_b - 1.0)
+                acc = acc + inside * inv_s * (
+                    jnp.where(cells == lo, 1.0 - frac, 0.0)
+                    + jnp.where(cells == hi, frac, 0.0))
+            scr[:, :] = acc * in_range
+
+        f = lambda k: flt_ref[r, k]
+        accum_weights(wy_scr, f(_F_Y1), f(_F_BH), f(_F_YLO), f(_F_YHI),
+                      f(_F_YRLO), f(_F_YRHI), WIN_Y)
+        accum_weights(wx_scr, f(_F_X1), f(_F_BW), f(_F_XLO), f(_F_XHI),
+                      f(_F_XRLO), f(_F_XRHI), WIN_X)
+        validf = f(_F_VALID)
+
+        # M[i, x*C + c] = sum_j Wx[j, x] * g[i, j, c]   (m_scr: (8, WIN_X*C))
+        for i in range(out_size):
+            for x in range(WIN_X):
+                acc = jnp.zeros((1, c), jnp.float32)
+                for j in range(out_size):
+                    gij = g_ref[0, i * out_size + j:i * out_size + j + 1, :]
+                    acc = acc + wx_scr[j, x] * gij.astype(jnp.float32)
+                m_scr[i:i + 1, x * c:(x + 1) * c] = acc * validf
+        for i in range(out_size, m_scr.shape[0]):
+            m_scr[i:i + 1, :] = jnp.zeros((1, WIN_X * c), jnp.float32)
+
+        # dW = WyT @ M : (WIN_Y, P) @ (P, WIN_X*C)
+        wy_t = wy_scr[:, :]                       # (P, WIN_Y)
+        dw = jax.lax.dot_general(
+            wy_t.astype(jnp.float32), m_scr[:out_size, :],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)   # (WIN_Y, WIN_X*C)
+        win[:, :] = win[:, :] + dw.astype(win.dtype)
+
+        # write back
+        for li in range(num_levels):
+            @pl.when(int_ref[r, 0] == li)
+            def _():
+                cp = window_copy(r, grad_refs[li], False)
+                cp.start()
+                cp.wait()
+
+
+def multilevel_roi_align_bwd_pallas(
+    feature_shapes, g, rois, strides, *, output_size=7, sampling_ratio=2,
+    min_level=2, canonical_scale=224.0, canonical_level=4, roi_valid=None,
+    interpret=False, dtype=jnp.float32,
+):
+    """Gradient wrt features. feature_shapes: [(H_l, W_l)] (C from g).
+
+    Returns a list of (H_l, W_l, C) grads (no roi gradient — reference
+    semantics: RoIAlign's CUDA backward only produces feature grads).
+    """
+    r_total = rois.shape[0]
+    c = g.shape[-1]
+    num_levels = len(feature_shapes)
+
+    if num_levels == 1:
+        levels = jnp.zeros((r_total,), jnp.int32)
+    else:
+        levels = fpn_level_assign(
+            rois, min_level=min_level, max_level=min_level + num_levels - 1,
+            canonical_scale=canonical_scale, canonical_level=canonical_level,
+        ) - min_level
+    if roi_valid is None:
+        roi_valid = jnp.ones((r_total,), bool)
+
+    padded_shapes = [( -(-max(h, WIN_Y) // 8) * 8, max(w, WIN_X)) for h, w in feature_shapes]
+    grads = [jnp.zeros((hp, wp * c), dtype) for hp, wp in padded_shapes]
+
+    h_arr = jnp.asarray([d[0] for d in feature_shapes], jnp.float32)[levels]
+    w_arr = jnp.asarray([d[1] for d in feature_shapes], jnp.float32)[levels]
+    hp_arr = jnp.asarray([p[0] for p in padded_shapes], jnp.float32)[levels]
+    wp_arr = jnp.asarray([p[1] for p in padded_shapes], jnp.float32)[levels]
+    stride_arr = jnp.asarray(strides, jnp.float32)[levels]
+
+    scale = 1.0 / stride_arr
+    x1 = rois[:, 0] * scale
+    y1 = rois[:, 1] * scale
+    roi_w = jnp.maximum(rois[:, 2] * scale - x1, 1.0)
+    roi_h = jnp.maximum(rois[:, 3] * scale - y1, 1.0)
+    y0b = jnp.clip(jnp.floor(y1 / 8.0) * 8.0, 0, jnp.maximum(hp_arr - WIN_Y, 0))
+    x0b = jnp.clip(jnp.floor(x1), 0, jnp.maximum(wp_arr - WIN_X, 0))
+
+    out_rows = -(-(output_size * output_size) // 8) * 8
+    g_pad = jnp.pad(g.reshape(r_total, output_size * output_size, c),
+                    ((0, 0), (0, out_rows - output_size * output_size), (0, 0)))
+
+    def pass_scalars(py, px):
+        range_y0 = y0b + py * WIN_Y
+        range_x0 = x0b + px * WIN_X
+        sy = jnp.clip(range_y0, 0, jnp.maximum(hp_arr - WIN_Y, 0))
+        sx = jnp.clip(range_x0, 0, jnp.maximum(wp_arr - WIN_X, 0))
+        need_y = (y1 + roi_h + 1.0) >= range_y0 if py else jnp.ones_like(y1, bool)
+        need_x = (x1 + roi_w + 1.0) >= range_x0 if px else jnp.ones_like(x1, bool)
+        exists = (range_y0 < h_arr) & (range_x0 < w_arr)
+        active = roi_valid & need_y & need_x & exists
+        ints = jnp.stack([
+            levels, sy.astype(jnp.int32), sx.astype(jnp.int32) * c,
+            active.astype(jnp.int32)], axis=1)
+        flts = jnp.stack([
+            y1 - sy, x1 - sx,
+            roi_h / output_size, roi_w / output_size,
+            -sy, h_arr - sy,
+            -sx, w_arr - sx,
+            roi_valid.astype(jnp.float32),
+            range_y0 - sy, range_y0 - sy + WIN_Y,
+            range_x0 - sx, range_x0 - sx + WIN_X,
+        ], axis=1)
+        return ints, flts, active
+
+    def run(grads, ints, flts, g_in, n):
+        for lo in range(0, n, _CHUNK):
+            hi = min(lo + _CHUNK, n)
+            m = hi - lo
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(m,),
+                in_specs=[pl.BlockSpec((1, out_rows, c), lambda r, *_: (r, 0, 0),
+                                       memory_space=pltpu.VMEM)]
+                + [pl.BlockSpec(memory_space=pltpu.HBM)] * num_levels,
+                out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * num_levels,
+                scratch_shapes=[
+                    pltpu.VMEM((WIN_Y, WIN_X * c), dtype),
+                    pltpu.VMEM((output_size, WIN_Y), jnp.float32),
+                    pltpu.VMEM((output_size, WIN_X), jnp.float32),
+                    pltpu.VMEM((8, WIN_X * c), jnp.float32),
+                    pltpu.SemaphoreType.DMA(()),
+                ],
+            )
+            grads = pl.pallas_call(
+                functools.partial(_bwd_kernel, num_levels=num_levels,
+                                  out_size=output_size,
+                                  sampling_ratio=sampling_ratio, c=c, r_total=m),
+                grid_spec=grid_spec,
+                out_shape=[jax.ShapeDtypeStruct(gr.shape, gr.dtype) for gr in grads],
+                input_output_aliases={3 + li: li for li in range(num_levels)},
+                interpret=interpret,
+                compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            )(ints[lo:hi], flts[lo:hi], g_in[lo:hi], *grads)
+            if num_levels == 1 and not isinstance(grads, (list, tuple)):
+                grads = [grads]
+            grads = list(grads)
+        return grads
+
+    budget = min(r_total, max(64, -(-r_total // 8 // 8) * 8))
+    for py in range(NUM_PASSES_Y):
+        for px in range(NUM_PASSES_X):
+            ints_p, flts_p, active = pass_scalars(py, px)
+            if py == 0 and px == 0:
+                grads = run(grads, ints_p, flts_p, g_pad, r_total)
+            else:
+                _, sel = jax.lax.top_k(active.astype(jnp.float32), budget)
+                grads = run(grads, ints_p[sel], flts_p[sel], g_pad[sel], budget)
+
+    out = []
+    for (h, w), (hp, wp), gr in zip(feature_shapes, padded_shapes, grads):
+        out.append(gr.reshape(hp, wp, c)[:h, :w, :])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# trainable (custom_vjp) batched entry point
+
+
+def make_trainable_roi_align(strides, *, output_size=7, sampling_ratio=2,
+                             min_level=2, canonical_scale=224.0,
+                             canonical_level=4):
+    """Batched RoIAlign with Pallas forward AND backward kernels.
+
+    Signature of the returned fn: (features: list of (B,H,W,C), rois (B,R,4),
+    roi_valid (B,R)) -> (B, R, P, P, C). Gradient flows to features only
+    (reference CUDA semantics: no roi gradient). Batched with lax.map (the
+    kernels' HBM operands don't support vmap batching).
+    """
+    strides = tuple(strides)
+    kw = dict(output_size=output_size, sampling_ratio=sampling_ratio,
+              min_level=min_level, canonical_scale=canonical_scale,
+              canonical_level=canonical_level)
+
+    @jax.custom_vjp
+    def f(features, rois, roi_valid):
+        def one(args):
+            feats_i, rois_i, valid_i = args
+            return multilevel_roi_align_pallas(
+                list(feats_i), rois_i, strides, roi_valid=valid_i, **kw)
+        return jax.lax.map(one, (tuple(features), rois, roi_valid))
+
+    def fwd(features, rois, roi_valid):
+        shapes = tuple(x.shape[1:3] for x in features)
+        return f(features, rois, roi_valid), (shapes, rois, roi_valid)
+
+    def bwd(res, g):
+        shapes, rois, roi_valid = res
+        out_dtype = g.dtype
+
+        def one(args):
+            g_i, rois_i, valid_i = args
+            grads = multilevel_roi_align_bwd_pallas(
+                list(shapes), g_i.astype(jnp.float32), rois_i, strides,
+                roi_valid=valid_i, dtype=jnp.float32, **kw)
+            return tuple(gr.astype(out_dtype) for gr in grads)
+
+        feat_grads = jax.lax.map(one, (g, rois, roi_valid))
+        return (list(feat_grads), jnp.zeros_like(rois),
+                jnp.zeros(roi_valid.shape, out_dtype))
+
+    f.defvjp(fwd, bwd)
+    return f
