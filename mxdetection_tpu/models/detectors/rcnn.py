@@ -83,14 +83,21 @@ def batched_roi_align(pyramid: list, rois: Array, valid: Array, cfg: Config,
                 canonical_scale=r.canonical_scale,
                 canonical_level=r.canonical_level, roi_valid=v)
             return jax.vmap(fn)(feats, rois, valid)
-        # training: Pallas forward AND backward via custom_vjp
-        from ...ops.pallas.roi_align import make_trainable_roi_align
+        # training: Pallas fwd+bwd via custom_vjp is available but measured
+        # SLOWER end-to-end than the XLA formulation (6.6 vs 9.5 steps/s at
+        # batch 2 — the lax.map batching and custom_vjp fusion barrier eat the
+        # standalone kernel wins), so it stays opt-in.
+        import os
 
-        fn = make_trainable_roi_align(
-            tuple(_roi_strides(cfg)), output_size=out_size,
-            sampling_ratio=r.sampling_ratio, min_level=r.min_level,
-            canonical_scale=r.canonical_scale, canonical_level=r.canonical_level)
-        return fn(feats, rois, valid)
+        if os.environ.get("MXDET_ROIALIGN_TRAIN") == "pallas":
+            from ...ops.pallas.roi_align import make_trainable_roi_align
+
+            fn = make_trainable_roi_align(
+                tuple(_roi_strides(cfg)), output_size=out_size,
+                sampling_ratio=r.sampling_ratio, min_level=r.min_level,
+                canonical_scale=r.canonical_scale,
+                canonical_level=r.canonical_level)
+            return fn(feats, rois, valid)
     fn = lambda f, ro, v: multilevel_roi_align(
         f, ro, _roi_strides(cfg), output_size=out_size,
         sampling_ratio=r.sampling_ratio, min_level=r.min_level,
