@@ -77,6 +77,5 @@ def ohem_select(per_roi_loss: Array, valid: Array, keep: int) -> Array:
     bool mask; callers weight their loss by it.
     """
     masked = jnp.where(valid, per_roi_loss, -jnp.inf)
-    n = per_roi_loss.shape[0]
     rank = jnp.argsort(jnp.argsort(-masked))
     return valid & (rank < keep)

@@ -180,7 +180,6 @@ def deform_conv2d_batched(x, offsets, weight, bias=None, *, stride=1, dilation=1
     """
     k = weight.shape[0]
     cin, cout = weight.shape[2], weight.shape[3]
-    wmat = weight.reshape(k * k * cin, cout)
     impl = _dcn_impl()
 
     if (inference and impl == "pallas" and stride == 1
@@ -196,6 +195,8 @@ def deform_conv2d_batched(x, offsets, weight, bias=None, *, stride=1, dilation=1
         return jax.lax.map(one, (x, offsets))
 
     if impl == "shift":
+        wmat = weight.reshape(k * k * cin, cout)
+
         def one(xi, oi):
             patches = deform_sample_patches_shift(
                 xi, oi, kernel=k, stride=stride, dilation=dilation)

@@ -173,8 +173,15 @@ class Trainer:
         return metrics
 
     def fit_epochs(self, loader, num_epochs: int, log_every: int = 20,
-                   on_metrics=None) -> list:
-        """Simple fit loop; returns the history of logged metric dicts."""
+                   on_metrics=None, metrics_file: str | None = None) -> list:
+        """Simple fit loop; returns the history of logged metric dicts.
+
+        ``metrics_file``: optional JSONL path — every logged metric dict is
+        appended as one JSON line (the structured-observability artifact;
+        SURVEY.md §5.5 — TensorBoard-equivalent without a TF dependency).
+        """
+        import json
+
         history = []
         global_bs = loader.batch_size * jax.process_count()
         t0 = time.time()
@@ -196,6 +203,9 @@ class Trainer:
                         self.logger.info(
                             "step %d ep %d loss %.4f lr %.5f %.1f img/s", step, epoch,
                             m["loss"], m["lr"], m["imgs_per_sec"])
+                    if metrics_file:
+                        with open(metrics_file, "a") as fh:
+                            fh.write(json.dumps(m) + "\n")
                     if on_metrics:
                         on_metrics(m)
         return history

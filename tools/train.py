@@ -110,7 +110,8 @@ def main():
             ckpt.save(trainer.state)
 
     trainer.fit_epochs(loader, epochs, log_every=cfg.train.log_every,
-                       on_metrics=on_metrics)
+                       on_metrics=on_metrics,
+                       metrics_file=os.path.join(workdir, "metrics.jsonl"))
     ckpt.save(trainer.state, force=True)
     logger.info("done at step %d", int(trainer.state.step))
 
