@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator
 
 import numpy as np
@@ -38,7 +39,7 @@ class DetectionLoader:
                  num_workers: int = 4, prefetch: int = 4,
                  num_shards: int = 1, shard_index: int = 0,
                  with_masks: bool = False, drop_last: bool = True,
-                 train_scales: tuple = ()):
+                 train_scales: tuple = (), orient_buckets: bool = False):
         self.ds = dataset
         self.batch_size = batch_size
         self.raw_hw = raw_hw
@@ -51,6 +52,7 @@ class DetectionLoader:
         self.with_masks = with_masks
         self.drop_last = drop_last
         self.train_scales = tuple(train_scales)
+        self.orient_buckets = orient_buckets
 
         idx = np.arange(len(dataset))
         self.indices = idx[shard_index::num_shards]
@@ -58,8 +60,22 @@ class DetectionLoader:
             raise ValueError("empty shard")
 
     def steps_per_epoch(self) -> int:
+        if self.orient_buckets:
+            port = self._portrait_mask(self.indices)
+            return (self._group_batches(int(port.sum()))
+                    + self._group_batches(int((~port).sum())))
         n = len(self.indices)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _group_batches(self, n: int) -> int:
+        if n == 0:
+            return 0
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _portrait_mask(self, idx: np.ndarray) -> np.ndarray:
+        """True where the record is taller than wide (h > w)."""
+        recs = self.ds.records
+        return np.asarray([recs[int(i)].height > recs[int(i)].width for i in idx])
 
     def _load_one(self, rec_idx: int, flip: bool) -> dict:
         rec = self.ds.records[rec_idx]
@@ -107,49 +123,88 @@ class DetectionLoader:
             m = self.ds.box_mask_size
             bm = np.zeros((g, m, m), np.uint8)
             masks = self.ds.get_box_masks(rec)[keep][:g]
-            bm[:n] = masks
+            # box_masks live in the gt-box frame; a horizontal image flip
+            # mirrors each box's content, so the canonical masks must mirror
+            # too (the device-side flip only moves the box, never its mask).
+            bm[:n] = masks[:, :, ::-1] if flip else masks
             out["box_masks"] = bm
         return out
 
-    def epoch(self, epoch: int) -> Iterator[dict]:
-        """One pass over this shard, prefetched. Deterministic per (seed, epoch)."""
+    def _batch_plan(self, epoch: int) -> list[dict]:
+        """Deterministic list of batch specs for one epoch.
+
+        Each spec: idx (B,), flip (B,), portrait bool, scale_size (B,)|None.
+        With ``orient_buckets`` batches are homogeneous in orientation
+        (portrait canvas is the transposed landscape canvas), so mixed
+        datasets cost exactly two XLA compilations instead of truncating
+        portrait content (SURVEY.md §7.3.4 shape discipline).
+        """
         rng = np.random.RandomState(self.seed + epoch)
         order = self.indices.copy()
         if self.shuffle:
             rng.shuffle(order)
         flips = rng.rand(len(order)) < 0.5 if self.flip else np.zeros(len(order), bool)
         if self.train_scales:
-            scale_choices = rng.choice(self.train_scales, size=len(order)).astype(np.float32)
+            scale_choices = rng.choice(
+                self.train_scales, size=len(order)).astype(np.float32)
         else:
             scale_choices = None
 
-        nb = self.steps_per_epoch()
+        def group_specs(sel: np.ndarray, portrait: bool) -> list[dict]:
+            g_order, g_flips = order[sel], flips[sel]
+            g_scales = scale_choices[sel] if scale_choices is not None else None
+            specs = []
+            for b in range(self._group_batches(len(g_order))):
+                sl = slice(b * self.batch_size, (b + 1) * self.batch_size)
+                idx, fl = g_order[sl], g_flips[sl]
+                sc = g_scales[sl] if g_scales is not None else None
+                if len(idx) < self.batch_size:  # wrap-around fill
+                    extra = self.batch_size - len(idx)
+                    idx = np.concatenate([idx, g_order[:extra]])
+                    fl = np.concatenate([fl, g_flips[:extra]])
+                    if sc is not None:
+                        sc = np.concatenate([sc, g_scales[:extra]])
+                specs.append({"idx": idx, "flip": fl, "portrait": portrait,
+                              "scale_size": sc})
+            return specs
+
+        if self.orient_buckets:
+            port = self._portrait_mask(order)
+            specs = group_specs(~port, False) + group_specs(port, True)
+            if self.shuffle:
+                rng.shuffle(specs)
+            return specs
+        return group_specs(np.ones(len(order), bool), False)
+
+    def epoch(self, epoch: int) -> Iterator[dict]:
+        """One pass over this shard, prefetched. Deterministic per (seed, epoch).
+
+        Decode runs on a ``num_workers`` thread pool (PIL JPEG decode releases
+        the GIL), batches are assembled and yielded in deterministic order —
+        the reference's PrefetchingIter role (SURVEY.md §2.2 train iterator).
+        """
+        specs = self._batch_plan(epoch)
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def assemble(spec: dict, pool) -> dict:
+            futs = [pool.submit(self._load_one, int(i), bool(f))
+                    for i, f in zip(spec["idx"], spec["flip"])]
+            samples = [f.result() for f in futs]
+            batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+            batch["image_ids"] = batch.pop("image_id")
+            batch["portrait"] = spec["portrait"]
+            if spec["scale_size"] is not None:
+                batch["scale_size"] = spec["scale_size"]
+            return batch
+
         def producer():
             try:
-                for b in range(nb):
-                    if stop.is_set():
-                        return
-                    sl = slice(b * self.batch_size, (b + 1) * self.batch_size)
-                    batch_idx = order[sl]
-                    batch_flip = flips[sl]
-                    if len(batch_idx) < self.batch_size:  # wrap-around fill
-                        extra = self.batch_size - len(batch_idx)
-                        batch_idx = np.concatenate([batch_idx, order[:extra]])
-                        batch_flip = np.concatenate([batch_flip, flips[:extra]])
-                    samples = [self._load_one(int(i), bool(f))
-                               for i, f in zip(batch_idx, batch_flip)]
-                    batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
-                    batch["image_ids"] = batch.pop("image_id")
-                    if scale_choices is not None:
-                        sc = scale_choices[sl]
-                        if len(sc) < self.batch_size:
-                            sc = np.concatenate(
-                                [sc, scale_choices[: self.batch_size - len(sc)]])
-                        batch["scale_size"] = sc
-                    q.put(batch)
+                with ThreadPoolExecutor(max_workers=max(1, self.num_workers)) as pool:
+                    for spec in specs:
+                        if stop.is_set():
+                            return
+                        q.put(assemble(spec, pool))
             finally:
                 q.put(None)
 

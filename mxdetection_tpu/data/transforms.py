@@ -47,8 +47,12 @@ def fused_image_transform(
     short = jnp.minimum(h, w)
     long = jnp.maximum(h, w)
     scale = jnp.minimum(scale_size / short, max_size / long)
-
     out_h, out_w = out_hw
+    # canvas-fit cap: never scale past the static pad canvas, so no image
+    # content is ever silently truncated. With orientation bucketing
+    # (portrait batches get the transposed canvas) this cap never binds for
+    # standard COCO scaling; it is the safety net for odd configs.
+    scale = jnp.minimum(scale, jnp.minimum(out_h / h, out_w / w))
     img = raw.astype(jnp.float32)
     out = jax.image.scale_and_translate(
         img,

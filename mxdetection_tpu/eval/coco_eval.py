@@ -190,6 +190,14 @@ class CocoEvaluator:
                 "boxes": boxes[sel], "scores": scores[sel],
                 "masks": [m for m, s in zip(masks, sel) if s] if masks is not None else None,
             }
+            prev = self.dt_by_img_cat.get((image_id, int(c)))
+            if prev is not None:  # repeated adds accumulate (e.g. TTA passes)
+                entry = {
+                    "boxes": np.concatenate([prev["boxes"], entry["boxes"]]),
+                    "scores": np.concatenate([prev["scores"], entry["scores"]]),
+                    "masks": (prev["masks"] + entry["masks"])
+                    if masks is not None and prev["masks"] is not None else None,
+                }
             self.dt_by_img_cat[(image_id, int(c))] = entry
 
     def _area(self, ann):

@@ -76,11 +76,10 @@ class Evaluator:
         self.with_masks = with_masks
         self.loader = DetectionLoader(
             dataset, batch_size=batch_size, raw_hw=raw_hw, max_gt=cfg.data.max_gt,
-            shuffle=False, flip=False, drop_last=False,
+            shuffle=False, flip=False, drop_last=False, orient_buckets=True,
             num_shards=jax.process_count(), shard_index=jax.process_index())
 
         d = cfg.data
-        pad_hw = (d.pad_h, d.pad_w)
 
         # TTA variants: (scale_size, flip). Reference: multi-scale + hflip
         # test with box merging (SURVEY.md §2.2 "Multi-scale / flip test").
@@ -91,14 +90,15 @@ class Evaluator:
         if cfg.test.flip_tta:
             self.tta_variants += [(s, True) for (s, _) in list(self.tta_variants)]
 
-        def forward(variables, batch, scale_size=d.scale, flip=False):
+        def forward(variables, batch, scale_size=d.scale, flip=False,
+                    out_hw=(d.pad_h, d.pad_w)):
             flips = jnp.full_like(batch["flip"], flip) if flip else batch["flip"]
             tb = batch_transform(
                 batch["raw"], batch["hw"], flips, batch["gt_boxes"],
-                out_hw=pad_hw, scale_size=scale_size, max_size=d.max_size,
+                out_hw=out_hw, scale_size=scale_size, max_size=d.max_size,
                 mean=d.mean, std=d.std, dtype=jnp.dtype(cfg.backbone.dtype))
             out = bundle.apply_eval(variables, tb)
-            dets = bundle.postprocess(out, cfg, pad_hw, tb["im_info"])
+            dets = bundle.postprocess(out, cfg, out_hw, tb["im_info"])
             if with_masks and cfg.mask_head is not None:
                 logits = bundle.model_eval.apply(
                     variables, out["pyramid"],
@@ -110,7 +110,8 @@ class Evaluator:
                 dets["masks"] = jax.nn.sigmoid(sel)
             return dets
 
-        self.forward = jax.jit(forward, static_argnames=("scale_size", "flip"))
+        self.forward = jax.jit(
+            forward, static_argnames=("scale_size", "flip", "out_hw"))
 
         def merge_tta(det_list, im_w):
             """Merge per-variant detections: unflip, concat, final NMS."""
@@ -150,20 +151,28 @@ class Evaluator:
         size_by_id = {r.image_id: (r.height, r.width) for r in self.ds.records}
 
         n_done = 0
+        seen: set = set()
+        d = self.cfg.data
         t0 = time.time()
         for batch in self.loader.epoch(0):
+            portrait = bool(batch.pop("portrait", False))
+            out_hw = (d.pad_w, d.pad_h) if portrait else (d.pad_h, d.pad_w)
             if len(self.tta_variants) > 1:
                 per_variant = [self.forward(self.variables, batch,
-                                            scale_size=s, flip=f)
+                                            scale_size=s, flip=f, out_hw=out_hw)
                                for (s, f) in self.tta_variants]
                 im_w = jnp.asarray(batch["hw"][:, 1])
                 dets = jax.device_get(self.merge_tta(per_variant, im_w))
             else:
-                dets = jax.device_get(self.forward(self.variables, batch))
+                dets = jax.device_get(
+                    self.forward(self.variables, batch, out_hw=out_hw))
             for i in range(len(batch["image_ids"])):
                 if max_images is not None and n_done >= max_images:
                     break
                 img_id = int(batch["image_ids"][i])
+                if img_id in seen:  # wrap-around fill of partial batches
+                    continue
+                seen.add(img_id)
                 v = dets["valid"][i]
                 evaluator.add(img_id, dets["boxes"][i][v], dets["scores"][i][v],
                               dets["labels"][i][v])

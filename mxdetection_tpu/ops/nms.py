@@ -152,7 +152,7 @@ def class_aware_nms(
     max_out: int,
     valid: Array | None = None,
     score_thr: float = -jnp.inf,
-    class_offset: float = 1e5,
+    class_offset: float | None = None,
 ) -> tuple[Array, Array, Array, Array]:
     """Per-class NMS via the coordinate-offset trick.
 
@@ -160,8 +160,14 @@ def class_aware_nms(
     (boxes, scores, labels, valid) of length max_out, score-sorted.
     Reference equivalent: the test-time per-class ``py_nms_wrapper`` loop in
     ``*/core/tester.py`` — but one fused pass instead of C python loops.
+
+    ``class_offset`` defaults to max(boxes)+1 (the torchvision batched_nms
+    rule) so shifted coordinates stay small enough that float32 ulp never
+    perturbs IoU — a fixed 1e5 would quantize coords by ~0.5px at label 79.
     """
     impl = _impl()
+    if class_offset is None:
+        class_offset = jnp.max(boxes) + 1.0
     if impl == "pallas":
         from .pallas.nms import class_aware_nms_pallas
 

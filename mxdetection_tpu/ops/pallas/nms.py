@@ -149,9 +149,12 @@ def class_aware_nms_pallas(boxes: Array, scores: Array, labels: Array,
                            iou_thr: float, max_out: int,
                            valid: Array | None = None,
                            score_thr: float = -jnp.inf,
-                           class_offset: float = 1e5,
+                           class_offset: float | None = None,
                            interpret: bool = False):
     """Class-aware variant (coordinate offset trick), Pallas-backed."""
+    if class_offset is None:
+        # max(boxes)+1 keeps shifted coords within float32 ulp safety
+        class_offset = jnp.max(boxes) + 1.0
     shifted = boxes + labels.astype(boxes.dtype)[:, None] * class_offset
     n = boxes.shape[0]
     if valid is None:

@@ -18,8 +18,11 @@ multi-pass: pass (py, px) covers the disjoint cell range
 [y0 + py*WIN_Y, y0 + (py+1)*WIN_Y) x [x0 + px*WIN_X, ...), with weights
 masked to that range (contributions are additive across passes, so outputs
 simply sum). Rois that don't reach a pass's range skip its DMA and compute
-entirely, so extra passes are nearly free. 2x2 passes cover 112x96 cells —
-aspect ratios beyond ~24:1 are truncated (documented; beyond any COCO box).
+entirely, so extra passes are nearly free. 2x3 passes cover 112x144 cells —
+aspect ratios beyond that are truncated (documented; beyond any COCO box).
+Extra passes compact their active rois into a small budget; if a pass
+overflows the budget the code falls back to a full-length pass, so results
+are exact for any roi distribution.
 
 Grid = one program per roi, double-buffered: roi r+1's window DMA overlaps
 roi r's compute. Mosaic constraints shape the code: no in-kernel reshapes
@@ -189,13 +192,16 @@ def multilevel_roi_align_pallas(
     if roi_valid is None:
         roi_valid = jnp.ones((r_total,), bool)
 
-    # pad levels to >= one window, flatten to 2D (H, W*C) — kernel is reshape-free
+    # pad levels to >= one window AND to 8-row multiples, flatten to 2D
+    # (H, W*C) — kernel is reshape-free. The 8-row rounding keeps the clip
+    # bound hp-WIN_Y 8-aligned, honoring the DMA's pl.multiple_of(row, 8)
+    # contract for rois near the image bottom (matches the bwd padding).
     padded = []
     dims = []
     for feat in features:
         h, w = feat.shape[:2]
         dims.append((h, w))
-        ph = max(WIN_Y - h, 0)
+        ph = -(-max(h, WIN_Y) // 8) * 8 - h
         pw = max(WIN_X - w, 0)
         if ph or pw:
             feat = jnp.pad(feat, ((0, ph), (0, pw), (0, 0)))
@@ -278,17 +284,30 @@ def multilevel_roi_align_pallas(
     ints0, flts0, _ = pass_scalars(0, 0)
     total = run_kernel(ints0, flts0, r_total)
 
-    # extra coverage passes (extreme-aspect rois only): compact the few
-    # active rois into a small budget, run the kernel on those, scatter-add
+    # extra coverage passes (wide/tall rois only): compact the active rois
+    # into a small budget and scatter-add. If a pass overflows the budget
+    # (many wide rois), fall back to a full-length run for that pass — exact
+    # in all cases, compact in the common one.
     budget = min(r_total, max(64, -(-r_total // 8 // 8) * 8))
     for py in range(NUM_PASSES_Y):
         for px in range(NUM_PASSES_X):
             if py == 0 and px == 0:
                 continue
             ints_p, flts_p, active = pass_scalars(py, px)
+            if budget == r_total:
+                total = total + run_kernel(ints_p, flts_p, r_total)
+                continue
+            n_act = jnp.sum(active.astype(jnp.int32))
             _, sel = jax.lax.top_k(active.astype(jnp.float32), budget)
-            part = run_kernel(ints_p[sel], flts_p[sel], budget)
-            total = total.at[sel].add(part)
+
+            def compact(tot, ints_p=ints_p, flts_p=flts_p, sel=sel):
+                part = run_kernel(ints_p[sel], flts_p[sel], budget)
+                return tot.at[sel].add(part)
+
+            def full(tot, ints_p=ints_p, flts_p=flts_p):
+                return tot + run_kernel(ints_p, flts_p, r_total)
+
+            total = jax.lax.cond(n_act <= budget, compact, full, total)
 
     return total[:, :output_size * output_size, :].reshape(
         r_total, output_size, output_size, c)
@@ -474,7 +493,10 @@ def multilevel_roi_align_bwd_pallas(
                     pltpu.VMEM((WIN_Y, WIN_X * c), dtype),
                     pltpu.VMEM((output_size, WIN_Y), jnp.float32),
                     pltpu.VMEM((output_size, WIN_X), jnp.float32),
-                    pltpu.VMEM((8, WIN_X * c), jnp.float32),
+                    # rows padded to a sublane multiple; supports any
+                    # output_size (the mask branch uses 14)
+                    pltpu.VMEM((-(-output_size // 8) * 8, WIN_X * c),
+                               jnp.float32),
                     pltpu.SemaphoreType.DMA(()),
                 ],
             )
@@ -499,9 +521,23 @@ def multilevel_roi_align_bwd_pallas(
             ints_p, flts_p, active = pass_scalars(py, px)
             if py == 0 and px == 0:
                 grads = run(grads, ints_p, flts_p, g_pad, r_total)
+            elif budget == r_total:
+                grads = run(grads, ints_p, flts_p, g_pad, r_total)
             else:
+                # budget overflow falls back to a full pass (same exactness
+                # guarantee as the forward)
+                n_act = jnp.sum(active.astype(jnp.int32))
                 _, sel = jax.lax.top_k(active.astype(jnp.float32), budget)
-                grads = run(grads, ints_p[sel], flts_p[sel], g_pad[sel], budget)
+
+                def compact(gs, ints_p=ints_p, flts_p=flts_p, sel=sel):
+                    return tuple(run(list(gs), ints_p[sel], flts_p[sel],
+                                     g_pad[sel], budget))
+
+                def full(gs, ints_p=ints_p, flts_p=flts_p):
+                    return tuple(run(list(gs), ints_p, flts_p, g_pad, r_total))
+
+                grads = list(jax.lax.cond(
+                    n_act <= budget, compact, full, tuple(grads)))
 
     out = []
     for (h, w), (hp, wp), gr in zip(feature_shapes, padded_shapes, grads):

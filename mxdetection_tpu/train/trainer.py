@@ -73,6 +73,7 @@ def make_train_step(
     loss_fn: Callable,
     tx: optax.GradientTransformation,
     mesh: Mesh,
+    out_hw: tuple[int, int] | None = None,
 ):
     """Builds the jitted SPMD train step.
 
@@ -80,13 +81,17 @@ def make_train_step(
     detector-specific piece (retinanet_loss, faster_rcnn loss, ...).
     Batch is sharded along the leading (batch) dim of every array; state is
     replicated; gradients are pmean-ed over the data axis.
+
+    ``out_hw`` overrides the pad canvas (the portrait-bucket step uses the
+    transposed canvas; one extra compile, zero content truncation).
     """
     d = cfg.data
+    out_hw = out_hw or (d.pad_h, d.pad_w)
 
     def device_batch(batch: dict) -> dict:
         tb = batch_transform(
             batch["raw"], batch["hw"], batch["flip"], batch["gt_boxes"],
-            out_hw=(d.pad_h, d.pad_w), scale_size=d.scale, max_size=d.max_size,
+            out_hw=out_hw, scale_size=d.scale, max_size=d.max_size,
             mean=d.mean, std=d.std, dtype=jnp.dtype(cfg.backbone.dtype),
             scale_sizes=batch.get("scale_size"),
         )
@@ -152,7 +157,12 @@ class Trainer:
             apply = staticmethod(model_apply)
 
         self.tx, self.lr_fn = make_optimizer(cfg, steps_per_epoch)
-        self.step_fn = make_train_step(cfg, _M, loss_fn, self.tx, mesh)
+        self._model = _M
+        self._loss_fn = loss_fn
+        # one step program per pad canvas; portrait batches use the transposed
+        # canvas (orientation bucketing — two compiles, no content truncation)
+        self._step_fns: dict = {}
+        self.step_fn = self._step_for(portrait=False)
 
         params = init_variables["params"]
         self.state = TrainState(
@@ -167,9 +177,22 @@ class Trainer:
         self.state = jax.device_put(self.state, rep)
         self._batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
 
+    def _step_for(self, portrait: bool):
+        d = self.cfg.data
+        if d.pad_h == d.pad_w:
+            portrait = False  # square canvas: one program serves both
+        if portrait not in self._step_fns:
+            out_hw = (d.pad_w, d.pad_h) if portrait else (d.pad_h, d.pad_w)
+            self._step_fns[portrait] = make_train_step(
+                self.cfg, self._model, self._loss_fn, self.tx, self.mesh,
+                out_hw=out_hw)
+        return self._step_fns[portrait]
+
     def run_step(self, batch: dict) -> dict:
+        batch = dict(batch)
+        portrait = bool(batch.pop("portrait", False))
         batch = jax.device_put(batch, self._batch_sharding)
-        self.state, metrics = self.step_fn(self.state, batch)
+        self.state, metrics = self._step_for(portrait)(self.state, batch)
         return metrics
 
     def fit_epochs(self, loader, num_epochs: int, log_every: int = 20,

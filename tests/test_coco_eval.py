@@ -120,3 +120,14 @@ def test_rle_iou():
     ea, eb = rle.encode_rle(a), rle.encode_rle(b)
     got = rle.rle_iou(ea, eb)
     assert abs(got - 30 / 70) < 1e-9
+
+
+def test_repeated_add_accumulates():
+    """Two add() calls for the same (image, category) must accumulate, not
+    overwrite (TTA-style double adds; VERDICT r1 weak #8)."""
+    gts = [make_gt(0, 0, [10, 10, 50, 50]), make_gt(0, 0, [60, 60, 120, 130])]
+    ev = CocoEvaluator(gts, num_classes=1)
+    ev.add(0, [[10, 10, 50, 50]], [0.9], [0])
+    ev.add(0, [[60, 60, 120, 130]], [0.8], [0])
+    r = ev.evaluate()
+    assert abs(r["AP"] - 1.0) < 1e-6, "second add was dropped/overwritten"

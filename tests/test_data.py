@@ -114,3 +114,128 @@ def test_fused_transform_flip_consistency(tiny_coco):
     np.testing.assert_allclose(pb[[1, 3]], fb[[1, 3]], atol=1e-4)
     np.testing.assert_allclose(fb[0], w * scale - pb[2], atol=1e-3)
     np.testing.assert_allclose(fb[2], w * scale - pb[0], atol=1e-3)
+
+
+def test_loader_num_workers_deterministic(tiny_coco):
+    """Parallel decode must yield byte-identical batches in the same order."""
+    def batches(nw):
+        loader = DetectionLoader(tiny_coco, batch_size=2, raw_hw=(416, 416),
+                                 max_gt=10, with_masks=True, seed=3,
+                                 num_workers=nw)
+        return list(loader.epoch(0))
+
+    for b1, b4 in zip(batches(1), batches(4)):
+        assert set(b1) == set(b4)
+        for k in b1:
+            np.testing.assert_array_equal(np.asarray(b1[k]), np.asarray(b4[k]))
+
+
+def test_loader_flip_mirrors_box_masks(tmp_path):
+    """Canonical instance masks must mirror when the image is flipped.
+
+    Uses an asymmetric (right-triangle) instance so a missing mirror is
+    detectable (rectangles/ellipses are x-symmetric and would pass vacuously).
+    """
+    import json
+    from PIL import Image
+
+    root = tmp_path / "tri"
+    img_dir = root / "images"
+    img_dir.mkdir(parents=True)
+    h = w = 200
+    Image.fromarray(np.zeros((h, w, 3), np.uint8)).save(img_dir / "0.jpg")
+    ann = {
+        "images": [{"id": 0, "file_name": "0.jpg", "height": h, "width": w}],
+        "annotations": [{
+            "id": 1, "image_id": 0, "category_id": 1,
+            "bbox": [20, 30, 100, 120], "area": 6000, "iscrowd": 0,
+            "segmentation": [[20, 30, 120, 150, 20, 150]],  # right triangle
+        }],
+        "categories": [{"id": 1, "name": "tri"}],
+    }
+    ann_path = root / "ann.json"
+    ann_path.write_text(json.dumps(ann))
+    ds = CocoDataset(str(ann_path), str(img_dir), with_masks=True)
+
+    loader = DetectionLoader(ds, batch_size=1, raw_hw=(256, 256), max_gt=4,
+                             with_masks=True, shuffle=False, flip=False)
+    plain = loader._load_one(0, flip=False)["box_masks"][0]
+    flipped = loader._load_one(0, flip=True)["box_masks"][0]
+    assert plain.any()
+    assert not np.array_equal(plain, flipped), "triangle mask must change under flip"
+    np.testing.assert_array_equal(flipped, plain[:, ::-1])
+
+
+def _mixed_orientation_ds(tmp_path_factory):
+    root = tmp_path_factory.mktemp("coco_mixed")
+    # size_range draws h and w independently -> mixed orientations
+    ann, img_dir = make_synthetic_coco(str(root), num_images=12,
+                                       size_range=(200, 400), seed=7)
+    return CocoDataset(ann, img_dir)
+
+
+def test_orient_buckets_homogeneous_batches(tmp_path_factory):
+    ds = _mixed_orientation_ds(tmp_path_factory)
+    orients = np.asarray([r.height > r.width for r in ds.records])
+    assert orients.any() and (~orients).any(), "need mixed orientations"
+
+    loader = DetectionLoader(ds, batch_size=2, raw_hw=(416, 416), max_gt=10,
+                             seed=0, orient_buckets=True, drop_last=False)
+    batches = list(loader.epoch(0))
+    assert len(batches) == loader.steps_per_epoch()
+    seen_ids = set()
+    by_id = {r.image_id: r for r in ds.records}
+    for b in batches:
+        port = [by_id[int(i)].height > by_id[int(i)].width
+                for i in b["image_ids"]]
+        assert all(p == b["portrait"] for p in port), "mixed-orientation batch"
+        seen_ids.update(int(i) for i in b["image_ids"])
+    assert seen_ids == {r.image_id for r in ds.records}, "every image seen"
+
+
+def test_portrait_canvas_no_truncation(tmp_path_factory):
+    """Portrait batches on the transposed canvas keep the full image: the
+    uncapped reference scale (short/long rule) fits without the canvas cap."""
+    ds = _mixed_orientation_ds(tmp_path_factory)
+    loader = DetectionLoader(ds, batch_size=2, raw_hw=(416, 416), max_gt=10,
+                             seed=0, orient_buckets=True, drop_last=False)
+    # canvas ratio mirrors the COCO default 832x1344 vs scale 800 / max 1333
+    scale_size, max_size = 200, 333
+    land_hw, port_hw = (208, 336), (336, 208)
+    checked_portrait = 0
+    for b in loader.epoch(0):
+        out_hw = port_hw if b["portrait"] else land_hw
+        res = batch_transform(
+            jnp.asarray(b["raw"]), jnp.asarray(b["hw"]),
+            jnp.asarray(b["flip"]), jnp.asarray(b["gt_boxes"]),
+            out_hw=out_hw, scale_size=scale_size, max_size=max_size,
+            mean=(0, 0, 0), std=(1, 1, 1), dtype=jnp.float32)
+        for i in range(2):
+            h, w = b["hw"][i]
+            expect = min(scale_size / min(h, w), max_size / max(h, w))
+            got = float(res["im_info"][i, 2])
+            assert abs(got - expect) < 1e-5, "canvas cap must not bind"
+            assert h * got <= out_hw[0] + 1e-3 and w * got <= out_hw[1] + 1e-3
+            checked_portrait += bool(b["portrait"])
+    assert checked_portrait > 0
+
+
+def test_canvas_fit_cap_prevents_truncation():
+    """Without bucketing, a portrait image on a landscape canvas is scaled
+    down (not cropped): bottom-row content must survive the transform."""
+    h, w = 400, 240
+    img = np.zeros((h, w, 3), np.uint8)
+    img[-8:, :, :] = 255  # bright stripe on the last rows
+    raw = np.zeros((416, 416, 3), np.uint8)
+    raw[:h, :w] = img
+    res = batch_transform(
+        jnp.asarray(raw[None]), jnp.asarray([[h, w]], jnp.float32),
+        jnp.asarray([False]), jnp.zeros((1, 1, 4)),
+        out_hw=(208, 336), scale_size=200, max_size=333,
+        mean=(0, 0, 0), std=(1, 1, 1), dtype=jnp.float32)
+    scale = float(res["im_info"][0, 2])
+    assert h * scale <= 208 + 1e-3, "content taller than canvas"
+    out = np.asarray(res["images"][0])
+    stripe_row = int(h * scale) - 2
+    assert out[stripe_row, : int(w * scale) - 2].mean() > 100, \
+        "bottom content lost"

@@ -70,3 +70,22 @@ def test_bwd_invalid_rois_contribute_zero():
     ref = xla_grad(fx, rois, (8,), g, valid=valid)
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_bwd_multilevel_and_valid_fast():
+    """Small-shape multilevel + invalid-roi coverage that runs ungated (the
+    heavy variants above stay behind MXDET_RUN_SLOW)."""
+    rng = np.random.RandomState(3)
+    shapes = [(32, 32), (16, 16)]
+    feats = [jnp.asarray(rng.randn(h, w, 128).astype(np.float32))
+             for h, w in shapes]
+    strides = (8, 16)
+    rois = jnp.asarray([[8.0, 8, 80, 70], [20, 30, 230, 210], [4.0, 4, 30, 30]])
+    valid = jnp.asarray([True, True, False])
+    g = jnp.asarray(rng.randn(3, 7, 7, 128).astype(np.float32))
+    ref = xla_grad(feats, rois, strides, g, valid=valid)
+    got = multilevel_roi_align_bwd_pallas(shapes, g, rois, strides,
+                                          roi_valid=valid, interpret=True)
+    for l in range(2):
+        np.testing.assert_allclose(np.asarray(got[l]), np.asarray(ref[l]),
+                                   rtol=1e-3, atol=1e-3, err_msg=f"level {l}")

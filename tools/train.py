@@ -82,7 +82,7 @@ def main():
         max_gt=cfg.data.max_gt, seed=cfg.train.seed,
         num_shards=jax.process_count(), shard_index=jax.process_index(),
         with_masks=with_masks, flip=cfg.data.flip,
-        train_scales=cfg.data.train_scales)
+        train_scales=cfg.data.train_scales, orient_buckets=True)
 
     bundle = build_detector(cfg)
     tb0 = {"images": jnp.zeros((1, cfg.data.pad_h, cfg.data.pad_w, 3)),
