@@ -284,11 +284,14 @@ def multilevel_roi_align_pallas(
     ints0, flts0, _ = pass_scalars(0, 0)
     total = run_kernel(ints0, flts0, r_total)
 
-    # extra coverage passes (wide/tall rois only): compact the active rois
-    # into a small budget and scatter-add. If a pass overflows the budget
-    # (many wide rois), fall back to a full-length run for that pass — exact
-    # in all cases, compact in the common one.
+    # Extra coverage passes (wide/tall rois only; FPN level assignment makes
+    # them rare — aspect ratio must exceed ~5). Active rois are compacted
+    # into a small budget and scatter-added. Exactness for ANY distribution:
+    # a while_loop drains the active set budget-at-a-time (vmap-safe — a
+    # lax.cond here would lower to select under vmap and run the expensive
+    # branch for every image). Converges in 1 iteration in practice.
     budget = min(r_total, max(64, -(-r_total // 8 // 8) * 8))
+    max_iters = -(-r_total // budget)
     for py in range(NUM_PASSES_Y):
         for px in range(NUM_PASSES_X):
             if py == 0 and px == 0:
@@ -297,17 +300,24 @@ def multilevel_roi_align_pallas(
             if budget == r_total:
                 total = total + run_kernel(ints_p, flts_p, r_total)
                 continue
-            n_act = jnp.sum(active.astype(jnp.int32))
-            _, sel = jax.lax.top_k(active.astype(jnp.float32), budget)
 
-            def compact(tot, ints_p=ints_p, flts_p=flts_p, sel=sel):
-                part = run_kernel(ints_p[sel], flts_p[sel], budget)
-                return tot.at[sel].add(part)
+            def body(state, ints_p=ints_p, flts_p=flts_p):
+                tot, act, it = state
+                _, sel = jax.lax.top_k(act.astype(jnp.float32), budget)
+                # rows selected as padding carry active=0 -> kernel outputs 0
+                sel_ints = ints_p[sel].at[:, 3].min(
+                    act[sel].astype(jnp.int32))
+                part = run_kernel(sel_ints, flts_p[sel], budget)
+                tot = tot.at[sel].add(part)
+                act = act & ~jnp.zeros_like(act).at[sel].set(True)
+                return tot, act, it + 1
 
-            def full(tot, ints_p=ints_p, flts_p=flts_p):
-                return tot + run_kernel(ints_p, flts_p, r_total)
+            def cond(state):
+                _, act, it = state
+                return jnp.any(act) & (it < max_iters)
 
-            total = jax.lax.cond(n_act <= budget, compact, full, total)
+            total, _, _ = jax.lax.while_loop(
+                cond, body, (total, active, jnp.int32(0)))
 
     return total[:, :output_size * output_size, :].reshape(
         r_total, output_size, output_size, c)

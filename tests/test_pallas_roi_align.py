@@ -91,3 +91,25 @@ def test_extreme_aspect_ratio_rois():
     got = multilevel_roi_align_pallas(feats, rois, strides, output_size=7,
                                       sampling_ratio=2, min_level=2, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+def test_budget_overflow_drains_exactly():
+    """More wide rois than the coverage-pass budget: the while-loop drain
+    must add every pass's contribution exactly once (no silent truncation,
+    no double count)."""
+    rng = np.random.RandomState(5)
+    feat = jnp.asarray(rng.randn(64, 96, 128).astype(np.float32))
+    n = 96  # budget for 96 rois is max(64, ...) = 64 < n actives below
+    # all rois wide enough (>48 cells at stride 8) to need pass (0,1)
+    x1 = rng.uniform(0, 80, n)
+    y1 = rng.uniform(0, 300, n)
+    w = rng.uniform(400, 680, n)
+    h = rng.uniform(40, 100, n)
+    rois = jnp.asarray(
+        np.stack([x1, y1, np.minimum(x1 + w, 760), np.minimum(y1 + h, 500)], 1),
+        jnp.float32)
+    ref = roi_align(feat, rois, stride=8, output_size=7, sampling_ratio=2)
+    got = multilevel_roi_align_pallas([feat], rois, (8,), output_size=7,
+                                      sampling_ratio=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)

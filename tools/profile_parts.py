@@ -104,7 +104,8 @@ def main():
 
     @jax.jit
     def f_roialign(pyramid, rois, roi_valid):
-        return batched_roi_align(pyramid, rois, roi_valid, cfg, 7)
+        return batched_roi_align(pyramid, rois, roi_valid, cfg, 7,
+                                 inference=True)
 
     roi_feats = timed("roi_align(1000 rois)", f_roialign, pyramid, rois, roi_valid)
 
