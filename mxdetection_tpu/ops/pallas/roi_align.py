@@ -285,39 +285,47 @@ def multilevel_roi_align_pallas(
     total = run_kernel(ints0, flts0, r_total)
 
     # Extra coverage passes (wide/tall rois only; FPN level assignment makes
-    # them rare — aspect ratio must exceed ~5). Active rois are compacted
-    # into a small budget and scatter-added. Exactness for ANY distribution:
-    # a while_loop drains the active set budget-at-a-time (vmap-safe — a
-    # lax.cond here would lower to select under vmap and run the expensive
-    # branch for every image). Converges in 1 iteration in practice.
-    budget = min(r_total, max(64, -(-r_total // 8 // 8) * 8))
-    max_iters = -(-r_total // budget)
+    # them rare — aspect ratio must exceed ~5). All (roi, pass) work items
+    # from every extra pass go into ONE combined queue; a while_loop drains
+    # it budget-at-a-time with compaction + scatter-add. Exact for ANY roi
+    # distribution (no silent truncation), vmap-safe (a lax.cond here would
+    # lower to select under vmap and run both branches per image), and free
+    # when nothing is active (zero loop iterations).
+    ints_l, flts_l, act_l = [], [], []
     for py in range(NUM_PASSES_Y):
         for px in range(NUM_PASSES_X):
             if py == 0 and px == 0:
                 continue
-            ints_p, flts_p, active = pass_scalars(py, px)
-            if budget == r_total:
-                total = total + run_kernel(ints_p, flts_p, r_total)
-                continue
+            i_p, f_p, a_p = pass_scalars(py, px)
+            ints_l.append(i_p)
+            flts_l.append(f_p)
+            act_l.append(a_p)
+    n_pass = len(ints_l)
+    ints_all = jnp.concatenate(ints_l, axis=0)      # (n_pass*R, 4)
+    flts_all = jnp.concatenate(flts_l, axis=0)      # (n_pass*R, _NUM_F)
+    act_all = jnp.concatenate(act_l, axis=0)        # (n_pass*R,)
+    roi_idx = jnp.tile(jnp.arange(r_total), n_pass)
 
-            def body(state, ints_p=ints_p, flts_p=flts_p):
-                tot, act, it = state
-                _, sel = jax.lax.top_k(act.astype(jnp.float32), budget)
-                # rows selected as padding carry active=0 -> kernel outputs 0
-                sel_ints = ints_p[sel].at[:, 3].min(
-                    act[sel].astype(jnp.int32))
-                part = run_kernel(sel_ints, flts_p[sel], budget)
-                tot = tot.at[sel].add(part)
-                act = act & ~jnp.zeros_like(act).at[sel].set(True)
-                return tot, act, it + 1
+    budget = min(n_pass * r_total, max(64, -(-r_total // 4 // 8) * 8))
+    max_iters = -(-(n_pass * r_total) // budget)
 
-            def cond(state):
-                _, act, it = state
-                return jnp.any(act) & (it < max_iters)
+    def body(state):
+        tot, act, it = state
+        _, sel = jax.lax.top_k(act.astype(jnp.float32), budget)
+        # rows selected as padding carry active=0 -> kernel outputs zeros;
+        # already-drained rows are masked the same way
+        sel_ints = ints_all[sel].at[:, 3].min(act[sel].astype(jnp.int32))
+        part = run_kernel(sel_ints, flts_all[sel], budget)
+        tot = tot.at[roi_idx[sel]].add(part)  # dup roi indices accumulate
+        act = act & ~jnp.zeros_like(act).at[sel].set(True)
+        return tot, act, it + 1
 
-            total, _, _ = jax.lax.while_loop(
-                cond, body, (total, active, jnp.int32(0)))
+    def cond(state):
+        _, act, it = state
+        return jnp.any(act) & (it < max_iters)
+
+    total, _, _ = jax.lax.while_loop(
+        cond, body, (total, act_all, jnp.int32(0)))
 
     return total[:, :output_size * output_size, :].reshape(
         r_total, output_size, output_size, c)
