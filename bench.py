@@ -30,7 +30,9 @@ def main():
     from mxdetection_tpu.data.transforms import batch_transform
     from mxdetection_tpu.models.registry import build_detector
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    # batch 32 measured best-throughput/memory point on v5e (16: 139.8,
+    # 32: 152.3, 64: 154.2 img/s — see BASELINE.md)
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     cfg = load_config("configs/faster_rcnn_r50_fpn_1x.py")
     d = cfg.data
     pad_hw = (d.pad_h, d.pad_w)

@@ -93,3 +93,79 @@ def test_convert_rejects_wrong_shapes(tmp_path):
                "batch_stats": {"backbone": variables["batch_stats"]}}
     with pytest.raises(ValueError):
         load_backbone(wrapped, str(npz))
+
+
+def test_convert_and_load_r101(tmp_path):
+    """R101 name mapping (23-block layer3) survives the full roundtrip."""
+    sd = synthetic_torch_sd(101, seed=3)
+    flat = convert_state_dict(sd, 101)
+    npz = tmp_path / "r101.npz"
+    np.savez(npz, **flat)
+    model = ResNet(depth=101, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    wrapped = {"params": {"backbone": variables["params"]},
+               "batch_stats": {"backbone": variables["batch_stats"]}}
+    merged = load_backbone(wrapped, str(npz))
+    got = np.asarray(
+        merged["params"]["backbone"]["layer3_block22"]["conv2"]["kernel"])
+    np.testing.assert_allclose(got, sd["layer3.22.conv2.weight"].transpose(2, 3, 1, 0))
+    out = model.apply({"params": merged["params"]["backbone"],
+                       "batch_stats": merged["batch_stats"]["backbone"]},
+                      jnp.ones((1, 64, 64, 3)))
+    assert all(np.isfinite(np.asarray(o)).all() for o in out)
+
+
+def test_convert_ignores_classifier_and_bookkeeping_keys():
+    sd = synthetic_torch_sd(50)
+    sd["fc.weight"] = np.zeros((1000, 2048), np.float32)
+    sd["fc.bias"] = np.zeros((1000,), np.float32)
+    sd["bn1.num_batches_tracked"] = np.asarray(12345)
+    flat = convert_state_dict(sd, 50)  # strict: skips must not raise
+    assert not any("fc" in k for k in flat)
+
+
+def test_convert_rejects_unexpected_keys():
+    sd = synthetic_torch_sd(50)
+    sd["layer1.0.conv9.weight"] = np.zeros((64, 64, 1, 1), np.float32)
+    with pytest.raises(ValueError, match="unexpected key"):
+        convert_state_dict(sd, 50)
+    # non-strict mode tolerates it
+    flat = convert_state_dict(sd, 50, strict=False)
+    assert "params/layer1_block0/conv1/kernel" in flat
+
+
+def test_convert_missing_key_raises():
+    sd = synthetic_torch_sd(50)
+    del sd["layer2.1.bn2.running_var"]
+    with pytest.raises(KeyError):
+        convert_state_dict(sd, 50)
+
+
+def test_convert_wrong_depth_rejected():
+    """Converting an R50 dict as R101 must fail loudly, not fabricate."""
+    sd = synthetic_torch_sd(50)
+    with pytest.raises(KeyError):
+        convert_state_dict(sd, 101)
+
+
+def test_convert_rejects_non_conv_weight_shape():
+    sd = synthetic_torch_sd(50)
+    sd["conv1.weight"] = np.zeros((64, 3 * 49), np.float32)  # flattened
+    with pytest.raises(ValueError, match="4-d conv kernel"):
+        convert_state_dict(sd, 50)
+
+
+def test_s2d_stem_exact_vs_plain():
+    """The packed space-to-depth stem is numerically identical to the plain
+    7x7/s2 conv (same params tree, same outputs on CPU f32)."""
+    from mxdetection_tpu.models.backbones.resnet import ResNet
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 96, 3).astype(np.float32))
+    m1 = ResNet(depth=50, dtype=jnp.float32, train=False, s2d_stem=True)
+    m2 = ResNet(depth=50, dtype=jnp.float32, train=False, s2d_stem=False)
+    v = m1.init(jax.random.PRNGKey(2), x)
+    o1, o2 = m1.apply(v, x), m2.apply(v, x)
+    for a, b in zip(o1, o2):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() / (np.abs(b).max() + 1e-9) < 1e-5

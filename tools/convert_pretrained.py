@@ -26,23 +26,37 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 STAGE_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
 
 
-def convert_state_dict(sd: dict, depth: int = 50) -> dict:
+#: torchvision keys that have no counterpart in the detection backbone
+_SKIP_PREFIXES = ("fc.",)
+_SKIP_SUFFIXES = ("num_batches_tracked",)
+
+
+def convert_state_dict(sd: dict, depth: int = 50, strict: bool = True) -> dict:
     """torchvision resnet state_dict (numpy arrays) -> flat {path: array}.
 
     Convs transpose OIHW -> HWIO; BN (weight, bias, running_mean, running_var)
     land in batch_stats as (gamma, beta, mean, var) — FrozenBatchNorm layout.
+
+    ``strict`` (default): any source key that is neither consumed nor a known
+    skip (classifier head, BN bookkeeping) raises — misspelled or structurally
+    unexpected checkpoints must not pass silently. Missing expected keys raise
+    KeyError either way.
     """
     out = {}
+    consumed = set()
 
     def conv(dst, src):
         w = np.asarray(sd[src + ".weight"])
+        if w.ndim != 4:
+            raise ValueError(f"{src}.weight: expected 4-d conv kernel, got {w.shape}")
+        consumed.add(src + ".weight")
         out[f"params/{dst}/kernel"] = w.transpose(2, 3, 1, 0)
 
     def bn(dst, src):
-        out[f"batch_stats/{dst}/gamma"] = np.asarray(sd[src + ".weight"])
-        out[f"batch_stats/{dst}/beta"] = np.asarray(sd[src + ".bias"])
-        out[f"batch_stats/{dst}/mean"] = np.asarray(sd[src + ".running_mean"])
-        out[f"batch_stats/{dst}/var"] = np.asarray(sd[src + ".running_var"])
+        for t_name, f_name in (("weight", "gamma"), ("bias", "beta"),
+                               ("running_mean", "mean"), ("running_var", "var")):
+            consumed.add(f"{src}.{t_name}")
+            out[f"batch_stats/{dst}/{f_name}"] = np.asarray(sd[f"{src}.{t_name}"])
 
     conv("stem_conv", "conv1")
     bn("stem_bn", "bn1")
@@ -56,6 +70,16 @@ def convert_state_dict(sd: dict, depth: int = 50) -> dict:
             if f"{pre}.downsample.0.weight" in sd:
                 conv(f"{dst}/downsample_conv", f"{pre}.downsample.0")
                 bn(f"{dst}/downsample_bn", f"{pre}.downsample.1")
+
+    leftover = [k for k in sd
+                if k not in consumed
+                and not k.startswith(_SKIP_PREFIXES)
+                and not k.endswith(_SKIP_SUFFIXES)]
+    if leftover and strict:
+        raise ValueError(
+            f"{len(leftover)} unexpected key(s) in source checkpoint "
+            f"(first: {sorted(leftover)[:5]}); wrong --depth or not a "
+            f"torchvision resnet state dict? Pass strict=False to ignore.")
     return out
 
 
