@@ -153,11 +153,15 @@ def multilevel_roi_align(
     v01 = gather(y_lo, x_hi)
     v10 = gather(y_hi, x_lo)
     v11 = gather(y_hi, x_hi)
-    # per-sample-point value: (R, p*s, p*s, C)
-    wy_lo_b = wy[0][:, :, None, None]
-    wy_hi_b = wy[1][:, :, None, None]
-    wx_lo_b = wx[0][:, None, :, None]
-    wx_hi_b = wx[1][:, None, :, None]
+    # per-sample-point value: (R, p*s, p*s, C). Keep the big buffer in the
+    # feature dtype: promoting bf16 gathers by f32 weights doubled the
+    # dominant HBM traffic of the training path (weights are computed in f32
+    # then cast; f32 features stay exact).
+    wdt = dtype if dtype == jnp.bfloat16 else jnp.float32
+    wy_lo_b = wy[0][:, :, None, None].astype(wdt)
+    wy_hi_b = wy[1][:, :, None, None].astype(wdt)
+    wx_lo_b = wx[0][:, None, :, None].astype(wdt)
+    wx_hi_b = wx[1][:, None, :, None].astype(wdt)
     val = (
         v00 * (wy_lo_b * wx_lo_b)
         + v01 * (wy_lo_b * wx_hi_b)
@@ -167,7 +171,7 @@ def multilevel_roi_align(
     r = rois.shape[0]
     val = val.reshape(r, p, s, p, s, c)
     if mode == "avg":
-        out = jnp.mean(val, axis=(2, 4))
+        out = jnp.mean(val.astype(jnp.float32), axis=(2, 4))
     elif mode == "max":
         out = jnp.max(val, axis=(2, 4))
     else:

