@@ -184,15 +184,13 @@ def deform_conv2d_batched(x, offsets, weight, bias=None, *, stride=1, dilation=1
 
     if (inference and impl == "pallas" and stride == 1
             and cin % 128 == 0 and cout % 128 == 0):
-        from .pallas.dcn import deform_conv2d_pallas
+        from .pallas.dcn import deform_conv2d_pallas_batched
 
-        def one(ab):
-            out = deform_conv2d_pallas(ab[0], ab[1], weight, dilation=dilation)
-            if bias is not None:
-                out = out + bias
-            return out.astype(x.dtype)
-        # lax.map: the kernel's HBM input blocks don't support vmap batching
-        return jax.lax.map(one, (x, offsets))
+        out = deform_conv2d_pallas_batched(x, offsets, weight,
+                                           dilation=dilation)
+        if bias is not None:
+            out = out + bias
+        return out.astype(x.dtype)
 
     if impl == "shift":
         wmat = weight.reshape(k * k * cin, cout)

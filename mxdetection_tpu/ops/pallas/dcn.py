@@ -14,6 +14,13 @@ Offsets are clamped to +-R cells (R=3 default; same documented deviation as
 ``ops.dcn.deform_sample_patches_shift``, which is the golden reference for
 this kernel). Stride-2 layers fall back to the gather implementation
 (3 of ~30 DCN layers in R101-DCN).
+
+Round-2 measured (R101-DCN234 backbone minus plain R101, batch 8 @832x1344,
+v5e): dense-displacement kernel 460 ms -> dynamic y-range fori (per-block
+bounds, ~3 live dy iterations for sub-cell offsets) 216 ms — 2.1x on the DCN
+overhead. Batching the grid over images (vs lax.map) and compacting x-terms
+via pl.when+scratch both measured neutral: the floor is the dense-x masked
+FMA traffic, retained because sublane offsets must be static for Mosaic.
 """
 
 from __future__ import annotations
@@ -34,23 +41,33 @@ WIN_R = 24    # window rows: BR + (k-1)*dil + 2R + 2 <= 24 for k=3, dil=1, R<=6
 def _kernel(oy_ref, ox_ref, x_hbm, w_ref, out_ref, win, sem, *,
             k: int, dil: int, pad: int, radius: int, wo: int, c: int,
             cout: int, margin: int):
-    b = pl.program_id(0)
+    ib = pl.program_id(0)   # image within the batch
+    b = pl.program_id(1)    # row block
     base = pl.multiple_of(b * BR, 8)
 
-    # window DMA: rows [base, base + WIN_R) of the padded input
-    dma = pltpu.make_async_copy(x_hbm.at[pl.ds(base, WIN_R)], win, sem)
+    # window DMA: rows [base, base + WIN_R) of image ib of the padded input
+    dma = pltpu.make_async_copy(x_hbm.at[ib, pl.ds(base, WIN_R)], win, sem)
     dma.start()
     dma.wait()
 
     r2 = 2 * radius + 2
     taps = [(ty, tx) for ty in range(k) for tx in range(k)]
 
+    # Per-BLOCK y-displacement bounds (2 scalar reductions per block instead
+    # of per (row, tap) — vector->scalar syncs are the overhead here). A
+    # term (dy, *) is identically zero unless dy in [floor(min oy),
+    # floor(max oy)+1]; offset-lane padding zeros only widen the range to
+    # include 0, which trained sub-cell offsets span anyway.
+    oy_blk = jnp.clip(oy_ref[0, :, :], -radius, radius)
+    blk_lo = jnp.floor(jnp.min(oy_blk)).astype(jnp.int32) + radius
+    blk_hi = jnp.floor(jnp.max(oy_blk)).astype(jnp.int32) + radius
+
     for i in range(BR):
-        out_acc = jnp.zeros((out_ref.shape[1], cout), jnp.float32)
+        out_acc = jnp.zeros((out_ref.shape[2], cout), jnp.float32)
         for t, (ty, tx) in enumerate(taps):
             col = i * 9 + t
-            oy = jnp.clip(oy_ref[:, col:col + 1], -radius, radius)  # (Wq, 1)
-            ox = jnp.clip(ox_ref[:, col:col + 1], -radius, radius)
+            oy = jnp.clip(oy_ref[0, :, col:col + 1], -radius, radius)  # (Wq, 1)
+            ox = jnp.clip(ox_ref[0, :, col:col + 1], -radius, radius)
             ylo = jnp.floor(oy)
             fy = oy - ylo
             xlo = jnp.floor(ox)
@@ -58,8 +75,15 @@ def _kernel(oy_ref, ox_ref, x_hbm, w_ref, out_ref, win, sem, *,
 
             row_base = i + ty * dil + 1  # + (margin - pad - radius) == +1
             col_base = tx * dil + 1
+            out_w = out_ref.shape[2]
 
-            # x-masks are dy-invariant: hoist out of the dy loop
+            # Dynamic y-displacement range (per-block bounds hoisted above):
+            # the fori runs only over the block's actual offset span —
+            # trained DCNv1 offsets are mostly sub-cell, so ~3 dy iterations
+            # instead of the dense 2R+2 = 8. dim-0 window indexing is
+            # untiled, so the dynamic row index is legal; x displacements
+            # stay statically unrolled (sublane offsets must be static for
+            # Mosaic) with the accumulator carried in registers.
             wxs = [
                 (jnp.where(xlo == dxi - radius, 1.0 - fx, 0.0)
                  + jnp.where(xlo + 1 == dxi - radius, fx, 0.0))
@@ -73,30 +97,26 @@ def _kernel(oy_ref, ox_ref, x_hbm, w_ref, out_ref, win, sem, *,
                 data_row = win[row_base + dyi, :, :]  # (Wp, C), dynamic dim-0
                 for dxi in range(r2):
                     m = (wy * wxs[dxi]).astype(data_row.dtype)
-                    sl = data_row[col_base + dxi:col_base + dxi + out_ref.shape[1], :]
+                    sl = data_row[col_base + dxi:col_base + dxi + out_w, :]
                     acc = acc + m * sl
                 return acc
 
-            # fori over dy keeps live ranges short (full unroll OOMs VMEM);
-            # the VMEM FMA traffic of the (2R+2)^2 dense terms is the cost
-            # floor of this formulation — see module docstring for measured
-            # numbers and the radius/perf trade-off.
             acc_t = jax.lax.fori_loop(
-                0, r2, dy_body,
-                jnp.zeros((out_ref.shape[1], c), win.dtype))
+                blk_lo, blk_hi + 2, dy_body,
+                jnp.zeros((out_w, c), win.dtype))
 
             w_t = w_ref[t * c:(t + 1) * c, :]  # (C, Cout)
             out_acc = out_acc + jax.lax.dot_general(
                 acc_t, w_t, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-        out_ref[i, :, :] = out_acc.astype(out_ref.dtype)
+        out_ref[0, i, :, :] = out_acc.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("kernel", "dilation", "radius",
                                              "interpret"))
-def deform_conv2d_pallas(
-    x: Array,          # (H, W, Cin)
-    offsets: Array,    # (H, W, 2*k*k), (dy, dx) per tap
+def deform_conv2d_pallas_batched(
+    x: Array,          # (B, H, W, Cin)
+    offsets: Array,    # (B, H, W, 2*k*k), (dy, dx) per tap
     weight: Array,     # (k, k, Cin, Cout)
     *,
     kernel: int = 3,
@@ -104,8 +124,9 @@ def deform_conv2d_pallas(
     radius: int = 3,
     interpret: bool = False,
 ) -> Array:
-    """Stride-1 deformable conv, one image. Offsets clamped to +-radius."""
-    h, w, c = x.shape
+    """Stride-1 deformable conv over a batch (grid = (B, row-blocks) — one
+    kernel launch per layer, not per image). Offsets clamped to +-radius."""
+    bsz, h, w, c = x.shape
     k = kernel
     cout = weight.shape[-1]
     assert c % 128 == 0 and cout % 128 == 0, "channels must be lane-aligned"
@@ -118,14 +139,14 @@ def deform_conv2d_pallas(
     # extra +8 width so x-slices of length ceil(W/8)*8 never overrun; total
     # padded width must itself be sublane-aligned for the window DMA
     wp_total = -(-(w + 2 * margin + 8) // 8) * 8
-    xp = jnp.zeros((hp, wp_total, c), x.dtype)
-    xp = jax.lax.dynamic_update_slice(xp, x, (margin, margin, 0))
+    xp = jnp.zeros((bsz, hp, wp_total, c), x.dtype)
+    xp = jax.lax.dynamic_update_slice(xp, x, (0, margin, margin, 0))
 
     # offsets transposed to (Wq, nb*128): per row-block a 128-lane group
     # (BR*k*k = 72 used) so in-kernel slices are lane-static and blocks are
     # lane-aligned
     wq = -(-w // 8) * 8
-    off = offsets.reshape(h, w, k * k, 2).astype(jnp.float32)
+    off = offsets.reshape(bsz, h, w, k * k, 2).astype(jnp.float32)
 
     def pack(o):  # (h, w, 9) -> (wq, nb*128)
         o = o.transpose(1, 0, 2)                       # (w, h, 9)
@@ -134,28 +155,38 @@ def deform_conv2d_pallas(
         o = jnp.pad(o, ((0, 0), (0, 0), (0, 128 - BR * k * k)))
         return o.reshape(wq, nb * 128)
 
-    oyt = pack(off[..., 0])
-    oxt = pack(off[..., 1])
+    oyt = jax.vmap(pack)(off[..., 0])                  # (B, wq, nb*128)
+    oxt = jax.vmap(pack)(off[..., 1])
 
     wmat = weight.reshape(k * k * c, cout).astype(x.dtype)
 
     out = pl.pallas_call(
         functools.partial(_kernel, k=k, dil=dilation, pad=pad, radius=radius,
                           wo=w, c=c, cout=cout, margin=margin),
-        grid=(nb,),
+        grid=(bsz, nb),
         in_specs=[
-            pl.BlockSpec((wq, 128), lambda b: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((wq, 128), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wq, 128), lambda ib, b: (ib, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wq, 128), lambda ib, b: (ib, 0, b),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BR, wq, cout), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, BR, wq, cout), lambda ib, b: (ib, b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb * BR, wq, cout), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, nb * BR, wq, cout), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((WIN_R, wp_total, c), x.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(oyt, oxt, xp, wmat)
-    return out[:h, :w, :]
+    return out[:, :h, :w, :]
+
+
+def deform_conv2d_pallas(x, offsets, weight, *, kernel=3, dilation=1,
+                         radius=3, interpret=False):
+    """Single-image wrapper over the batched kernel (golden-test surface)."""
+    return deform_conv2d_pallas_batched(
+        x[None], offsets[None], weight, kernel=kernel, dilation=dilation,
+        radius=radius, interpret=interpret)[0]

@@ -22,6 +22,7 @@ import numpy as np
 def main():
     cfg_path = sys.argv[1] if len(sys.argv) > 1 else "configs/faster_rcnn_r50_fpn_1x.py"
     bpd = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    overrides = sys.argv[3:]  # dotted k=v pairs, e.g. backbone.remat=True
 
     import jax
     import jax.numpy as jnp
@@ -32,6 +33,9 @@ def main():
     from mxdetection_tpu.train import Trainer
 
     cfg = load_config(cfg_path)
+    if overrides:
+        from train import parse_overrides
+        cfg = cfg.override(**parse_overrides(overrides))
     d = cfg.data
     mesh = make_mesh(cfg.train.mesh_shape)
     n_dev = mesh.devices.size
