@@ -8,8 +8,13 @@ other step is on-device (``transforms.batch_transform`` inside the jitted
 step). Prefetching is a small thread pool with a bounded queue, like the
 reference's PrefetchingIter but with numpy-free hot path.
 
-Multi-host sharding: records are sharded by (process_index, num_processes) the
-same way the reference sharded its roidb by worker rank (SURVEY.md §3.5).
+Multi-host sharding: the *batch plan* (shuffle order, flip draws, scale draws,
+orientation grouping) is built from the GLOBAL index set identically on every
+process — only then is each global batch strided across shards. This keeps the
+compiled program choice (portrait vs landscape canvas) and steps_per_epoch
+identical on every host, which the reference got for free from rank-sharding a
+static roidb (SURVEY.md §3.5) but which per-shard planning would break for
+mixed-orientation data.
 """
 
 from __future__ import annotations
@@ -54,23 +59,29 @@ class DetectionLoader:
         self.train_scales = tuple(train_scales)
         self.orient_buckets = orient_buckets
 
-        idx = np.arange(len(dataset))
-        self.indices = idx[shard_index::num_shards]
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        # one global batch = batch_size rows on each of num_shards processes
+        self.global_batch = batch_size * num_shards
+        self.all_indices = np.arange(len(dataset))
+        # nominal shard (dataset-coverage accounting; the per-epoch assignment
+        # comes from striding the globally-planned batches)
+        self.indices = self.all_indices[shard_index::num_shards]
         if len(self.indices) == 0:
             raise ValueError("empty shard")
 
     def steps_per_epoch(self) -> int:
+        """Global step count — identical on every process by construction."""
         if self.orient_buckets:
-            port = self._portrait_mask(self.indices)
+            port = self._portrait_mask(self.all_indices)
             return (self._group_batches(int(port.sum()))
                     + self._group_batches(int((~port).sum())))
-        n = len(self.indices)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        return self._group_batches(len(self.all_indices))
 
     def _group_batches(self, n: int) -> int:
         if n == 0:
             return 0
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        return n // self.global_batch if self.drop_last else -(-n // self.global_batch)
 
     def _portrait_mask(self, idx: np.ndarray) -> np.ndarray:
         """True where the record is taller than wide (h > w)."""
@@ -131,16 +142,20 @@ class DetectionLoader:
         return out
 
     def _batch_plan(self, epoch: int) -> list[dict]:
-        """Deterministic list of batch specs for one epoch.
+        """Deterministic list of this shard's batch specs for one epoch.
 
         Each spec: idx (B,), flip (B,), portrait bool, scale_size (B,)|None.
-        With ``orient_buckets`` batches are homogeneous in orientation
-        (portrait canvas is the transposed landscape canvas), so mixed
-        datasets cost exactly two XLA compilations instead of truncating
+        The plan is built over the GLOBAL index set with the global batch size
+        (every process runs this identical computation from the shared seed),
+        then each global batch is strided ``[shard_index::num_shards]`` — so
+        all processes agree on step count, per-step orientation, and per-step
+        program choice. With ``orient_buckets`` batches are homogeneous in
+        orientation (portrait canvas is the transposed landscape canvas), so
+        mixed datasets cost exactly two XLA compilations instead of truncating
         portrait content (SURVEY.md §7.3.4 shape discipline).
         """
         rng = np.random.RandomState(self.seed + epoch)
-        order = self.indices.copy()
+        order = self.all_indices.copy()
         if self.shuffle:
             rng.shuffle(order)
         flips = rng.rand(len(order)) < 0.5 if self.flip else np.zeros(len(order), bool)
@@ -155,17 +170,21 @@ class DetectionLoader:
             g_scales = scale_choices[sel] if scale_choices is not None else None
             specs = []
             for b in range(self._group_batches(len(g_order))):
-                sl = slice(b * self.batch_size, (b + 1) * self.batch_size)
+                sl = slice(b * self.global_batch, (b + 1) * self.global_batch)
                 idx, fl = g_order[sl], g_flips[sl]
                 sc = g_scales[sl] if g_scales is not None else None
-                if len(idx) < self.batch_size:  # wrap-around fill
-                    extra = self.batch_size - len(idx)
-                    idx = np.concatenate([idx, g_order[:extra]])
-                    fl = np.concatenate([fl, g_flips[:extra]])
+                if len(idx) < self.global_batch:
+                    # tiled wrap-around fill: always yields a FULL batch even
+                    # when the whole group is smaller than one global batch
+                    extra = self.global_batch - len(idx)
+                    idx = np.concatenate([idx, np.resize(g_order, extra)])
+                    fl = np.concatenate([fl, np.resize(g_flips, extra)])
                     if sc is not None:
-                        sc = np.concatenate([sc, g_scales[:extra]])
-                specs.append({"idx": idx, "flip": fl, "portrait": portrait,
-                              "scale_size": sc})
+                        sc = np.concatenate([sc, np.resize(g_scales, extra)])
+                shard = slice(self.shard_index, None, self.num_shards)
+                specs.append({"idx": idx[shard], "flip": fl[shard],
+                              "portrait": portrait,
+                              "scale_size": sc[shard] if sc is not None else None})
             return specs
 
         if self.orient_buckets:

@@ -192,11 +192,17 @@ class CocoEvaluator:
             }
             prev = self.dt_by_img_cat.get((image_id, int(c)))
             if prev is not None:  # repeated adds accumulate (e.g. TTA passes)
+                if (prev["masks"] is None) != (entry["masks"] is None):
+                    # silently dropping one side's masks would desync
+                    # masks[i] from boxes[i] and corrupt segm matching
+                    raise ValueError(
+                        f"inconsistent masks= usage across add() calls for "
+                        f"image {image_id} category {int(c)}")
                 entry = {
                     "boxes": np.concatenate([prev["boxes"], entry["boxes"]]),
                     "scores": np.concatenate([prev["scores"], entry["scores"]]),
                     "masks": (prev["masks"] + entry["masks"])
-                    if masks is not None and prev["masks"] is not None else None,
+                    if entry["masks"] is not None else None,
                 }
             self.dt_by_img_cat[(image_id, int(c))] = entry
 

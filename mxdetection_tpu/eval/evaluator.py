@@ -142,6 +142,7 @@ class Evaluator:
 
     def run(self, max_images: int | None = None, verbose: bool = True) -> dict:
         from .rle import encode_rle
+        from ..parallel.dist import all_gather_objects
 
         evaluator = CocoEvaluator(build_gt_list(self.ds), self.ds.num_classes, "bbox")
         segm_eval = None
@@ -152,6 +153,7 @@ class Evaluator:
 
         n_done = 0
         seen: set = set()
+        records: list = []  # per-image host records, merged across processes
         d = self.cfg.data
         t0 = time.time()
         for batch in self.loader.epoch(0):
@@ -174,21 +176,38 @@ class Evaluator:
                     continue
                 seen.add(img_id)
                 v = dets["valid"][i]
-                evaluator.add(img_id, dets["boxes"][i][v], dets["scores"][i][v],
-                              dets["labels"][i][v])
+                rec = {"image_id": img_id, "boxes": dets["boxes"][i][v],
+                       "scores": dets["scores"][i][v],
+                       "labels": dets["labels"][i][v], "rles": None}
                 if segm_eval is not None:
                     im_h, im_w = size_by_id[img_id]
-                    rles = [encode_rle(paste_mask(m, b, im_h, im_w))
-                            for m, b in zip(dets["masks"][i][v], dets["boxes"][i][v])]
-                    segm_eval.add(img_id, dets["boxes"][i][v], dets["scores"][i][v],
-                                  dets["labels"][i][v], masks=rles)
+                    rec["rles"] = [encode_rle(paste_mask(m, b, im_h, im_w))
+                                   for m, b in zip(dets["masks"][i][v],
+                                                   dets["boxes"][i][v])]
+                records.append(rec)
                 n_done += 1
             if max_images is not None and n_done >= max_images:
                 break
         dt = time.time() - t0
+
+        # Distributed eval merge: every process contributes its shard's
+        # detections; wrap-fill can duplicate an image across processes, so
+        # dedup by image_id (first occurrence wins — dets are identical).
+        merged_seen: set = set()
+        n_global = 0
+        for rec in (r for part in all_gather_objects(records) for r in part):
+            if rec["image_id"] in merged_seen:
+                continue
+            merged_seen.add(rec["image_id"])
+            n_global += 1
+            evaluator.add(rec["image_id"], rec["boxes"], rec["scores"],
+                          rec["labels"])
+            if segm_eval is not None:
+                segm_eval.add(rec["image_id"], rec["boxes"], rec["scores"],
+                              rec["labels"], masks=rec["rles"])
         results = evaluator.evaluate()
         results["images_per_sec"] = n_done / max(dt, 1e-9)
-        results["num_images"] = n_done
+        results["num_images"] = n_global
         if segm_eval is not None:
             results["segm"] = segm_eval.evaluate()
         if verbose:

@@ -164,10 +164,14 @@ def class_aware_nms(
     ``class_offset`` defaults to max(boxes)+1 (the torchvision batched_nms
     rule) so shifted coordinates stay small enough that float32 ulp never
     perturbs IoU — a fixed 1e5 would quantize coords by ~0.5px at label 79.
+    The max is taken over VALID rows only and NaN-scrubbed, so padding rows
+    carrying sentinel/NaN coordinates cannot poison every shifted box.
     """
     impl = _impl()
     if class_offset is None:
-        class_offset = jnp.max(boxes) + 1.0
+        safe = boxes if valid is None else jnp.where(valid[:, None], boxes, 0.0)
+        class_offset = jnp.nan_to_num(
+            jnp.max(safe), nan=0.0, posinf=0.0, neginf=0.0) + 1.0
     if impl == "pallas":
         from .pallas.nms import class_aware_nms_pallas
 

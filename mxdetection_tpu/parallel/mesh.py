@@ -42,6 +42,13 @@ def initialize_multihost(coordinator: str | None = None, num_processes: int | No
     they exist for explicit launchers. No-op when single-process.
     """
     if num_processes is not None and num_processes > 1 or coordinator is not None:
+        # CPU backend needs an explicit cross-process collectives transport
+        # (gloo ships in jaxlib); TPU backends ignore this setting. This is
+        # what makes the 2-process CPU integration test possible without TPUs.
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass  # option absent on this jax version; TPU pods don't need it
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=num_processes,
                                    process_id=process_id)

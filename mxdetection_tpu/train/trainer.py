@@ -174,7 +174,12 @@ class Trainer:
         )
         # replicate state over the mesh
         rep = NamedSharding(mesh, P())
-        self.state = jax.device_put(self.state, rep)
+        if jax.process_count() > 1:
+            self.state = jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(
+                    rep, np.asarray(x)), self.state)
+        else:
+            self.state = jax.device_put(self.state, rep)
         self._batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
 
     def _step_for(self, portrait: bool):
@@ -191,7 +196,15 @@ class Trainer:
     def run_step(self, batch: dict) -> dict:
         batch = dict(batch)
         portrait = bool(batch.pop("portrait", False))
-        batch = jax.device_put(batch, self._batch_sharding)
+        if jax.process_count() > 1:
+            # each process holds its shard of the global batch; assemble the
+            # global array from process-local rows (SURVEY.md §3.5: the SPMD
+            # replacement for per-rank roidb shards feeding dist_sync)
+            batch = jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(
+                    self._batch_sharding, np.asarray(x)), batch)
+        else:
+            batch = jax.device_put(batch, self._batch_sharding)
         self.state, metrics = self._step_for(portrait)(self.state, batch)
         return metrics
 

@@ -239,3 +239,55 @@ def test_canvas_fit_cap_prevents_truncation():
     stripe_row = int(h * scale) - 2
     assert out[stripe_row, : int(w * scale) - 2].mean() > 100, \
         "bottom content lost"
+
+
+def test_orient_bucket_smaller_than_batch(tmp_path):
+    """A bucket with fewer records than the batch must still yield FULL
+    batches (tiled wrap-fill) — undersized batches break shard_map batch
+    divisibility on a mesh (VERDICT r2 repro: 3 portrait, batch 8 -> 6)."""
+    import json
+    from PIL import Image
+
+    root = tmp_path / "tiny_port"
+    img_dir = root / "images"
+    img_dir.mkdir(parents=True)
+    images, anns = [], []
+    sizes = [(300, 200), (320, 210), (310, 205)]  # 3 portrait only
+    for i, (h, w) in enumerate(sizes):
+        Image.fromarray(np.zeros((h, w, 3), np.uint8)).save(img_dir / f"{i}.jpg")
+        images.append({"id": i, "file_name": f"{i}.jpg", "height": h, "width": w})
+        anns.append({"id": i + 1, "image_id": i, "category_id": 1,
+                     "bbox": [10, 10, 50, 50], "area": 2500, "iscrowd": 0})
+    ann_path = root / "ann.json"
+    ann_path.write_text(json.dumps({
+        "images": images, "annotations": anns,
+        "categories": [{"id": 1, "name": "x"}]}))
+    ds = CocoDataset(str(ann_path), str(img_dir))
+
+    loader = DetectionLoader(ds, batch_size=8, raw_hw=(416, 416), max_gt=4,
+                             seed=0, shuffle=False, flip=False,
+                             orient_buckets=True, drop_last=False)
+    batches = list(loader.epoch(0))
+    assert len(batches) == loader.steps_per_epoch() == 1
+    assert batches[0]["raw"].shape[0] == 8, "underfilled batch"
+    assert set(int(i) for i in batches[0]["image_ids"]) == {0, 1, 2}
+
+
+def test_global_plan_consistent_across_shards(tmp_path_factory):
+    """orient_buckets + sharding: every process must see the same step count
+    and the same per-step orientation/program choice (ADVICE r2 high)."""
+    ds = _mixed_orientation_ds(tmp_path_factory)
+    loaders = [DetectionLoader(ds, batch_size=2, raw_hw=(416, 416), max_gt=10,
+                               seed=5, orient_buckets=True, drop_last=False,
+                               num_shards=2, shard_index=s, flip=True)
+               for s in (0, 1)]
+    assert loaders[0].steps_per_epoch() == loaders[1].steps_per_epoch()
+    plans = [ld._batch_plan(epoch=3) for ld in loaders]
+    assert len(plans[0]) == len(plans[1]) == loaders[0].steps_per_epoch()
+    union = set()
+    for s0, s1 in zip(*plans):
+        assert s0["portrait"] == s1["portrait"], "divergent program choice"
+        assert len(s0["idx"]) == len(s1["idx"]) == 2, "wrong shard batch size"
+        union.update(int(i) for i in s0["idx"])
+        union.update(int(i) for i in s1["idx"])
+    assert union == set(range(len(ds.records))), "global coverage broken"

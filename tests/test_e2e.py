@@ -194,10 +194,10 @@ def test_cascade_rcnn_train_then_eval(tmp_path):
 
     it = iter(loader)
     losses = [float(trainer.run_step(next(it))["loss"]) for _ in range(40)]
-    assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])
+    assert losses[-1] < losses[0] * 0.7, (losses[0], losses[-1])
 
     final_vars = {"params": jax.device_get(trainer.state.params),
                   "batch_stats": jax.device_get(trainer.state.batch_stats)}
     ev = Evaluator(cfg, bundle, final_vars, ds, batch_size=4, raw_hw=(416, 416))
     results = ev.run(verbose=True)
-    assert np.isfinite(results["AP50"]), results
+    assert results["AP50"] > 0.05, results
