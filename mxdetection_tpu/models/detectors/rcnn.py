@@ -77,19 +77,26 @@ def batched_roi_align(pyramid: list, rois: Array, valid: Array, cfg: Config,
         if inference:
             from ...ops.pallas.roi_align import multilevel_roi_align_pallas
 
+            # vmap composition (grid lifted to (B, R)) measured FASTER than
+            # the flat natively-batched grid for inference (57.7 vs 80.4 ms,
+            # 32x1000 rois on v5e): one launch, no chunk concat. The batched
+            # entry point exists for training, where the backward's aliased
+            # HBM accumulators cannot go through vmap.
             fn = lambda f, ro, v: multilevel_roi_align_pallas(
                 f, ro, tuple(_roi_strides(cfg)), output_size=out_size,
                 sampling_ratio=r.sampling_ratio, min_level=r.min_level,
                 canonical_scale=r.canonical_scale,
                 canonical_level=r.canonical_level, roi_valid=v)
             return jax.vmap(fn)(feats, rois, valid)
-        # training: Pallas fwd+bwd via custom_vjp is available but measured
-        # SLOWER end-to-end than the XLA formulation (6.6 vs 9.5 steps/s at
-        # batch 2 — the lax.map batching and custom_vjp fusion barrier eat the
-        # standalone kernel wins), so it stays opt-in.
+        # training DEFAULT: Pallas fwd+bwd via custom_vjp, natively
+        # image-batched kernels (no lax.map; the factorized matmul-shaped
+        # backward compiles in seconds where the old unrolled-loop kernel
+        # was pathological at batch>=4). Measured batch 8 @832x1344, 512
+        # rois, v5e: RoIAlign fwd+bwd 13.4 vs 62.2 ms XLA; FULL train
+        # fwd+bwd 99.8 vs 168.4 ms (1.69x). Opt out: MXDET_ROIALIGN_TRAIN=xla.
         import os
 
-        if os.environ.get("MXDET_ROIALIGN_TRAIN") == "pallas":
+        if os.environ.get("MXDET_ROIALIGN_TRAIN", "pallas") == "pallas":
             from ...ops.pallas.roi_align import make_trainable_roi_align
 
             fn = make_trainable_roi_align(

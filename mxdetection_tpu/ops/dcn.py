@@ -182,12 +182,17 @@ def deform_conv2d_batched(x, offsets, weight, bias=None, *, stride=1, dilation=1
     cin, cout = weight.shape[2], weight.shape[3]
     impl = _dcn_impl()
 
-    if (inference and impl == "pallas" and stride == 1
+    if (inference and impl == "pallas" and stride in (1, 2)
             and cin % 128 == 0 and cout % 128 == 0):
-        from .pallas.dcn import deform_conv2d_pallas_batched
+        from .pallas.dcn import (deform_conv2d_pallas_batched,
+                                 deform_conv2d_s2_pallas_batched)
 
-        out = deform_conv2d_pallas_batched(x, offsets, weight,
-                                           dilation=dilation)
+        if stride == 1:
+            out = deform_conv2d_pallas_batched(x, offsets, weight,
+                                               dilation=dilation)
+        else:
+            out = deform_conv2d_s2_pallas_batched(x, offsets, weight,
+                                                  dilation=dilation)
         if bias is not None:
             out = out + bias
         return out.astype(x.dtype)
