@@ -73,17 +73,41 @@ def _unpack_s2d2(y: Array) -> Array:
     return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, c)
 
 
+def _packed_maxpool(y: Array) -> Array:
+    """Exact 3x3/s2 maxpool of the UNPACKED map, computed in packed layout.
+
+    ``y`` is the s2d2-packed stem output, (B, Hp, Wp, 2, 2, 64): unpacked
+    pixel (2i+py, 2j+px) lives at y[:, i, j, py, px]. The standard stem pool
+    (3x3, stride 2, pad 1) emits exactly one output per packed cell, so it is
+    9 shifted elementwise maxes with NO layout change — this removes the
+    unpack transpose that made the round-2 s2d stem a net loss end-to-end
+    (BASELINE.md round-2 "measured negative"). Output row i covers unpacked
+    rows {2i-1, 2i, 2i+1} = packed {(i-1, py=1), (i, py=0), (i, py=1)};
+    the i-1 read at i=0 is the pool's -inf padding row. Same for columns.
+    """
+    neg = jnp.asarray(-jnp.inf, y.dtype)
+    up = jnp.pad(y[:, :, :, 1], ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)),
+                 constant_values=neg)[:, :-1]
+    rmax = jnp.maximum(jnp.maximum(up, y[:, :, :, 0]), y[:, :, :, 1])
+    left = jnp.pad(rmax[:, :, :, 1], ((0, 0), (0, 0), (1, 0), (0, 0)),
+                   constant_values=neg)[:, :, :-1]
+    return jnp.maximum(jnp.maximum(left, rmax[:, :, :, 0]), rmax[:, :, :, 1])
+
+
 class StemConv(nn.Module):
     """7x7/s2 stem conv evaluated as its exact space-to-depth packing.
 
     Owns the canonical (7,7,3,64) kernel under this module's scope (so the
     variables path is identical to the plain nn.Conv stem), but computes
-    s2d4(x) -> conv3x3/s1 (48->256) -> unpack, which keeps the MXU's
-    128-lane contraction dimension fed (2.7x faster at COCO scale,
-    bit-identical taps).
+    s2d4(x) -> conv3x3/s1 (48->256), which keeps the MXU's 128-lane
+    contraction dimension fed (2.7x faster at COCO scale, bit-identical
+    taps). With ``packed_out`` the s2d2-packed result is returned as
+    (B, H/4, W/4, 2, 2, 64) for the packed-layout pool (`_packed_maxpool`);
+    otherwise it is unpacked to the canonical (B, H/2, W/2, 64).
     """
 
     dtype: Any = jnp.bfloat16
+    packed_out: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -93,6 +117,9 @@ class StemConv(nn.Module):
         y = jax.lax.conv_general_dilated(
             _space_to_depth(x, 4), wp, (1, 1), [(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.packed_out:
+            b, h, w, _ = y.shape
+            return y.reshape(b, h, w, 2, 2, 64)
         return _unpack_s2d2(y)
 
 
@@ -170,12 +197,17 @@ class ResNet(nn.Module):
     train: bool = True
     dtype: Any = jnp.bfloat16
     remat: bool = False           # checkpoint each bottleneck (memory vs FLOPs)
-    # Exact space-to-depth stem (MXU-packed). Measured on v5e @ 832x1344
-    # batch 32: the packed conv alone is 2.7x faster (3.3 vs 8.8 ms @16),
-    # but the s2d/unpack transposes around it cost more than the conv win
-    # end-to-end (144.6 vs 152.3 img/s full model), so the default stays
-    # the plain conv. Kept as an opt-in for shapes/backends where the
-    # transposes fuse away.
+    # Exact space-to-depth stem (MXU-packed, see _pack_stem_kernel) — a
+    # twice-measured NEGATIVE kept opt-in. Round 2: packed conv alone 2.7x
+    # faster but the unpack transpose loses end-to-end. Round 3 removed the
+    # unpack by computing the 3x3/s2 maxpool IN the packed layout
+    # (`_packed_maxpool`, 9 shifted maxes) — isolated stem then wins 2x
+    # (33 vs 60 ms @ batch 32, tools/exp_stem2.py), yet COMPOSED it still
+    # loses (stem+layer1-block: 40.0 plain vs 45.8 best-packed; full
+    # backbone 77.3 vs 91.3 ms): with a consumer in-program XLA compiles the
+    # plain small-C_in stem near-optimally, and the packed path's layout
+    # boundary at the pool output costs more than the conv win. Exact
+    # either way; flip on for shapes/toolchains where it might differ.
     s2d_stem: bool = False
 
     @nn.compact
@@ -187,19 +219,28 @@ class ResNet(nn.Module):
         # (7,7,3,64) kernel at params/stem_conv/kernel (checkpoint/converter
         # compatible); the s2d path repacks it at trace time and runs the
         # numerically-identical 48->256 packed conv (see _pack_stem_kernel).
+        # Norm/relu/pool run on the packed (B,H/4,W/4,2,2,64) tensor: norm
+        # broadcasts per trailing channel (64) so stats/params are identical
+        # to the plain path, and the packed pool emits the canonical
+        # (B,H/4,W/4,64) map directly — no unpack transpose anywhere.
         if self.s2d_stem and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
-            x = StemConv(dtype=self.dtype, name="stem_conv")(x)
+            x = StemConv(dtype=self.dtype, packed_out=True, name="stem_conv")(x)
+            x = norm(name="stem_bn")(x)
+            x = nn.relu(x)
+            if self.frozen_stages >= 0:
+                x = jax.lax.stop_gradient(x)
+            x = _packed_maxpool(x)
         else:
             x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                         use_bias=False, dtype=self.dtype,
                         param_dtype=jnp.float32,
                         kernel_init=nn.initializers.he_normal(),
                         name="stem_conv")(x)
-        x = norm(name="stem_bn")(x)
-        x = nn.relu(x)
-        if self.frozen_stages >= 0:
-            x = jax.lax.stop_gradient(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+            x = norm(name="stem_bn")(x)
+            x = nn.relu(x)
+            if self.frozen_stages >= 0:
+                x = jax.lax.stop_gradient(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         outs = []
         blocks = STAGE_BLOCKS[self.depth]

@@ -52,9 +52,10 @@ def shrink(cfg):
         # CI shrink: R50 depth; keeps the cascade + DCN code paths
         cfg = cfg.override(**{"backbone.depth": 50,
                               "backbone.dcn_stages": (False, False, False, True)})
-    if cfg.backbone.norm == "sync_bn":
-        # eval-mode running stats; semantics identical off-mesh
-        pass
+    # NOTE: the multihost/sync_bn config collapses to the flagship computation
+    # here — eval-mode BN uses running stats, so its fixture is expected to be
+    # identical to detector_faster_rcnn_r50_fpn_1x. Its TRAIN-mode semantics
+    # (on-mesh pmean stats) are pinned separately by test_train_fixtures.py.
     return cfg
 
 

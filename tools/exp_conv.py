@@ -35,11 +35,22 @@ def calibrate_peak():
     return 2 * 8192 ** 3 / dt / 1e12
 
 
+def calibrate_hbm():
+    """Streaming HBM bandwidth: elementwise add over a 1-GiB bf16 array
+    (reads + writes 2x its size)."""
+    x = jnp.zeros((512 * 1024 * 1024,), jnp.bfloat16)  # 1 GiB
+    f = jax.jit(lambda x: x + jnp.bfloat16(1.0))
+    dt = timed(lambda: jnp.sum(f(x)[:8].astype(jnp.float32)))
+    return 2 * x.size * 2 / dt / 1e9  # GB/s
+
+
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     H, W = 832, 1344
     peak = calibrate_peak()
-    print(f"calibrated bf16 matmul peak: {peak:.1f} TFLOP/s")
+    hbm = calibrate_hbm()
+    print(f"calibrated bf16 matmul peak: {peak:.1f} TFLOP/s, "
+          f"HBM stream: {hbm:.0f} GB/s")
 
     # (name, h, w, cin, cout, k, stride, count_in_r50)
     shapes = [
@@ -66,7 +77,9 @@ def main():
 
     total_ms = 0.0
     total_tf = 0.0
-    print(f"{'shape':<22} {'ms':>8} {'TF/s':>7} {'MFU%':>6} {'xN':>3} {'sum ms':>8}")
+    total_roof = 0.0
+    print(f"{'shape':<22} {'ms':>8} {'TF/s':>7} {'MFU%':>6} {'roof ms':>8} "
+          f"{'%roof':>6} {'xN':>3} {'sum ms':>8}")
     for name, h, w, cin, cout, k, s, n in shapes:
         x = jnp.zeros((batch, h, w, cin), jnp.bfloat16)
         wgt = jnp.zeros((k, k, cin, cout), jnp.bfloat16)
@@ -82,12 +95,19 @@ def main():
         ho, wo = -(-h // s), -(-w // s)
         fl = 2 * batch * ho * wo * cout * cin * k * k
         tf = fl / dt / 1e12
+        # roofline: max(MXU time, HBM time) for in+out+weight bf16 traffic
+        traffic = 2 * (batch * h * w * cin + batch * ho * wo * cout
+                       + k * k * cin * cout)
+        roof = max(fl / (peak * 1e12), traffic / (hbm * 1e9))
         total_ms += dt * 1000 * n
         total_tf += fl * n
-        print(f"{name:<22} {dt*1e3:8.2f} {tf:7.1f} {100*tf/peak:6.1f} {n:3d} "
-              f"{dt*1e3*n:8.2f}")
+        total_roof += roof * 1000 * n
+        print(f"{name:<22} {dt*1e3:8.2f} {tf:7.1f} {100*tf/peak:6.1f} "
+              f"{roof*1e3:8.2f} {100*roof/dt:6.1f} {n:3d} {dt*1e3*n:8.2f}")
     print(f"{'TOTAL (sum of parts)':<22} {total_ms:8.2f} ms  "
-          f"avg MFU {100*total_tf/ (total_ms/1e3) / 1e12 / peak:.1f}%")
+          f"avg MFU {100*total_tf/ (total_ms/1e3) / 1e12 / peak:.1f}%  "
+          f"roofline total {total_roof:.2f} ms "
+          f"({100*total_roof/total_ms:.0f}% of actual)")
 
 
 if __name__ == "__main__":
