@@ -53,37 +53,40 @@ def fused_image_transform(
     # (portrait batches get the transposed canvas) this cap never binds for
     # standard COCO scaling; it is the safety net for odd configs.
     scale = jnp.minimum(scale, jnp.minimum(out_h / h, out_w / w))
-    img = raw.astype(jnp.float32)
+
+    # Horizontal flip is folded INTO the resample instead of applied after it
+    # (the old reverse + dynamic-roll + select chain cost ~as much as the
+    # resize itself and its lax.cond barrier blocked elementwise fusion).
+    # Mirror the raw canvas (content then sits right-aligned) and translate:
+    # with jax's sampling convention (output x samples input at
+    # (x + 0.5 - t)/s - 0.5), translation t = round(new_w) - s*raw_w makes
+    # the mirrored resample hit EXACTLY the sample positions of
+    # reverse-then-roll-by-(round(new_w) - out_w): final[x] = out[R-1-x]
+    # for the valid x < new_w (triangle kernel is symmetric, zeros bleed
+    # identically at the mirrored boundary).
+    raw_w = raw.shape[1]
+    new_h = h * scale
+    new_w = w * scale
+    raw_in = jnp.where(flip, raw[:, ::-1, :], raw)
+    tx = jnp.where(flip, jnp.round(new_w) - scale * raw_w, 0.0)
     out = jax.image.scale_and_translate(
-        img,
+        raw_in.astype(jnp.float32),
         shape=(out_h, out_w, 3),
         spatial_dims=(0, 1),
         scale=jnp.asarray([scale, scale], jnp.float32),
-        translation=jnp.zeros((2,), jnp.float32),
+        translation=jnp.stack([jnp.float32(0.0), tx]),
         method=method,
     )
-    new_h = h * scale
-    new_w = w * scale
-    # zero out resampling bleed beyond the valid region
+
+    # one fused tail: normalize, then zero the pad region (reference pads
+    # with zeros AFTER normalization, so padding contributes exact zeros to
+    # convs; this also kills any resampling bleed beyond the valid region)
     yy = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 0)
     xx = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 1)
     valid = (yy < new_h) & (xx < new_w)
-    out = jnp.where(valid[..., None], out, 0.0)
-
-    # horizontal flip: reverse x, then roll content back to the left edge,
-    # so the valid region stays top-left regardless of flip
-    def do_flip(o):
-        rev = o[:, ::-1, :]
-        return jnp.roll(rev, jnp.round(new_w).astype(jnp.int32) - out_w, axis=1)
-
-    out = jax.lax.cond(flip, do_flip, lambda o: o, out)
-
-    # normalize, then re-zero the pad region (reference pads with zeros AFTER
-    # normalization, so padding contributes exact zeros to convs)
     mean_a = jnp.asarray(mean, jnp.float32)
     std_a = jnp.asarray(std, jnp.float32)
-    out = (out - mean_a) / std_a
-    out = jnp.where(valid[..., None], out, 0.0)
+    out = jnp.where(valid[..., None], (out - mean_a) / std_a, 0.0)
     return out.astype(dtype), scale
 
 

@@ -20,7 +20,11 @@ import jax
 import jax.numpy as jnp
 
 
-def timed(fn, *args, iters=10):
+def timed(fn, *args, iters=20):
+    """fn must return a SCALAR computed inside jit (fused reduction) —
+    an eager cast+sum over a GB-sized output costs ~5 ms through HBM and
+    would dominate what we are measuring."""
+    jax.device_get(fn(*args))
     jax.device_get(fn(*args))
     t0 = time.perf_counter()
     out = [fn(*args) for _ in range(iters)]
@@ -30,8 +34,8 @@ def timed(fn, *args, iters=10):
 
 def calibrate_peak():
     a = jnp.zeros((8192, 8192), jnp.bfloat16)
-    f = jax.jit(lambda a, b: (a @ b).astype(jnp.bfloat16))
-    dt = timed(lambda: jnp.sum(f(a, a).astype(jnp.float32)))
+    f = jax.jit(lambda a: jnp.sum((a @ a).astype(jnp.float32)))
+    dt = timed(f, a)
     return 2 * 8192 ** 3 / dt / 1e12
 
 
@@ -39,9 +43,12 @@ def calibrate_hbm():
     """Streaming HBM bandwidth: elementwise add over a 1-GiB bf16 array
     (reads + writes 2x its size)."""
     x = jnp.zeros((512 * 1024 * 1024,), jnp.bfloat16)  # 1 GiB
-    f = jax.jit(lambda x: x + jnp.bfloat16(1.0))
-    dt = timed(lambda: jnp.sum(f(x)[:8].astype(jnp.float32)))
-    return 2 * x.size * 2 / dt / 1e9  # GB/s
+    # fused full-array reduction: pure streaming READ of 1 GiB (a copy-style
+    # test would let XLA dead-code-eliminate everything but the slice we
+    # reduce, so read-bandwidth is the robust calibration).
+    f = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+    dt = timed(f, x)
+    return x.size * 2 / dt / 1e9  # GB/s
 
 
 def main():
@@ -90,8 +97,8 @@ def main():
                 x, wgt, (s, s), pad,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
-        jf = jax.jit(f)
-        dt = timed(lambda: jnp.sum(jf(x, wgt).astype(jnp.float32)))
+        jf = jax.jit(lambda x, wgt: jnp.sum(f(x, wgt).astype(jnp.float32)))
+        dt = timed(jf, x, wgt)
         ho, wo = -(-h // s), -(-w // s)
         fl = 2 * batch * ho * wo * cout * cin * k * k
         tf = fl / dt / 1e12
