@@ -188,6 +188,10 @@ class TestCfg:
     nms_thr: float = 0.5
     max_per_image: int = 100
     pre_nms_per_class: int = 1000         # dets entering class-aware NMS
+    # "greedy" (hard NMS) | "soft_linear" | "soft_gaussian" (Soft-NMS;
+    # soft methods use nms_thr as the linear decay threshold Nt)
+    nms_method: str = "greedy"
+    soft_sigma: float = 0.5               # gaussian soft-NMS decay width
     flip_tta: bool = False
     scales_tta: Tuple[int, ...] = _tup()
 

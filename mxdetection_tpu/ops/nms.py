@@ -202,3 +202,115 @@ def batched_nms(boxes: Array, scores: Array, iou_thr: float, max_out: int, valid
     if valid is None:
         valid = jnp.ones(scores.shape, bool)
     return jax.vmap(fn)(boxes, scores, valid)
+
+
+def _soft_nms_scan(iou_boxes: Array, scores: Array, max_out: int,
+                   method: str, iou_thr: float, sigma: float,
+                   valid: Array | None) -> tuple[Array, Array]:
+    """Core soft-NMS pick loop -> (picked indices, picked scores).
+
+    ``max_out`` sequential picks; each takes the current score argmax,
+    emits it, and decays every remaining score by f(IoU with the pick) —
+    one O(N) VPU step per pick, fixed shapes. Because decay only lowers
+    scores, the emitted sequence is non-increasing, so ``max_out`` picks
+    yield exactly the global top-``max_out`` of the fully-run algorithm.
+    """
+    n = iou_boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    s0 = jnp.where(valid, scores.astype(jnp.float32), -jnp.inf)
+    bxs = iou_boxes.astype(jnp.float32)
+    area = jnp.maximum(bxs[:, 2] - bxs[:, 0], 0) * jnp.maximum(bxs[:, 3] - bxs[:, 1], 0)
+    if method not in ("linear", "gaussian"):
+        raise ValueError(f"unknown soft-NMS method {method!r}")
+
+    def body(s, _):
+        i = jnp.argmax(s)
+        si = s[i]
+        bi = bxs[i]
+        lt = jnp.maximum(bxs[:, :2], bi[:2])
+        rb = jnp.minimum(bxs[:, 2:], bi[2:])
+        wh = jnp.maximum(rb - lt, 0.0)
+        inter = wh[:, 0] * wh[:, 1]
+        iou = inter / jnp.maximum(area + area[i] - inter, 1e-12)
+        if method == "linear":
+            decay = jnp.where(iou > iou_thr, 1.0 - iou, 1.0)
+        else:
+            decay = jnp.exp(-(iou * iou) / sigma)
+        # guard: -inf (padding / already picked) must stay -inf even when
+        # decay == 0 (identical boxes), where -inf * 0 would produce NaN
+        s = jnp.where(jnp.isfinite(s), s * decay, -jnp.inf)
+        return s.at[i].set(-jnp.inf), (i, si)
+
+    _, (idx, svals) = jax.lax.scan(body, s0, None, length=max_out)
+    return idx, svals
+
+
+def soft_nms(
+    boxes: Array,
+    scores: Array,
+    max_out: int,
+    *,
+    method: str = "linear",          # "linear" | "gaussian"
+    iou_thr: float = 0.3,            # linear decay threshold (Nt)
+    sigma: float = 0.5,              # gaussian decay width
+    score_thr: float = 1e-3,
+    valid: Array | None = None,
+) -> tuple[Array, Array, Array]:
+    """Soft-NMS (Bodla et al. 2017): decay overlapping scores, don't kill.
+
+    Family repos ship this as a host-side test-time option next to hard NMS
+    (the improved-NMS variant of ``py_nms_wrapper``; SURVEY.md §2.2 "NMS").
+    Boxes decayed below ``score_thr`` are dropped; picked-box coordinates
+    are never modified (matches the reference). Fixed-size outputs.
+    """
+    idx, svals = _soft_nms_scan(boxes, scores, max_out, method, iou_thr,
+                                sigma, valid)
+    out_valid = svals > score_thr
+    out_boxes = jnp.where(out_valid[:, None], boxes[idx], 0.0)
+    return out_boxes, jnp.where(out_valid, svals, 0.0), out_valid
+
+
+def class_aware_nms_from_cfg(t, boxes: Array, scores: Array, labels: Array,
+                             valid: Array | None = None):
+    """Test-time class-aware NMS dispatch by ``TestCfg.nms_method``:
+    "greedy" (default hard NMS), "soft_linear", or "soft_gaussian"."""
+    if t.nms_method == "greedy":
+        return class_aware_nms(boxes, scores, labels, t.nms_thr,
+                               t.max_per_image, valid=valid,
+                               score_thr=t.score_thr)
+    if not t.nms_method.startswith("soft_"):
+        raise ValueError(f"unknown test.nms_method {t.nms_method!r}")
+    return class_aware_soft_nms(
+        boxes, scores, labels, t.max_per_image,
+        method=t.nms_method[len("soft_"):], iou_thr=t.nms_thr,
+        sigma=t.soft_sigma, score_thr=t.score_thr, valid=valid)
+
+
+def class_aware_soft_nms(
+    boxes: Array,
+    scores: Array,
+    labels: Array,
+    max_out: int,
+    *,
+    method: str = "linear",
+    iou_thr: float = 0.3,
+    sigma: float = 0.5,
+    score_thr: float = 1e-3,
+    valid: Array | None = None,
+    class_offset: float | None = None,
+) -> tuple[Array, Array, Array, Array]:
+    """Per-class soft-NMS via the same coordinate-offset trick as
+    ``class_aware_nms``: cross-class IoU is 0, so cross-class decay is 1
+    (no interaction), while within-class decay matches ``soft_nms``."""
+    if class_offset is None:
+        safe = boxes if valid is None else jnp.where(valid[:, None], boxes, 0.0)
+        class_offset = jnp.nan_to_num(
+            jnp.max(safe), nan=0.0, posinf=0.0, neginf=0.0) + 1.0
+    shifted = boxes + labels.astype(boxes.dtype)[:, None] * class_offset
+    idx, svals = _soft_nms_scan(shifted, scores, max_out, method, iou_thr,
+                                sigma, valid)
+    out_valid = svals > score_thr
+    out_boxes = jnp.where(out_valid[:, None], boxes[idx], 0.0)
+    out_labels = jnp.where(out_valid, labels[idx], -1)
+    return out_boxes, jnp.where(out_valid, svals, 0.0), out_labels, out_valid

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from . import boxes as box_lib
 from . import nms as nms_lib
+from .topk import topk_select
 
 Array = jax.Array
 
@@ -41,7 +42,10 @@ def generate_proposals_single(
         scores = cl.reshape(-1).astype(jnp.float32)
         deltas = bd.reshape(-1, 4).astype(jnp.float32)
         k = min(pre_nms_top_n, scores.shape[0])
-        top_scores, idx = jax.lax.top_k(scores, k)
+        # radix-bisection selection (ops/topk.py) — bit-identical to
+        # lax.top_k but O(N) instead of a full sort; the big FPN levels
+        # (P2: 209k scores) otherwise dominate the proposal stage
+        top_scores, idx = topk_select(scores, k)
         b = box_lib.decode_boxes(an[idx], deltas[idx], stds=bbox_stds)
         b = box_lib.clip_boxes(b, image_hw)
         ok = box_lib.valid_box_mask(b, min_box_size)
