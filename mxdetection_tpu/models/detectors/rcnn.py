@@ -26,7 +26,6 @@ from ...ops import boxes as box_lib
 from ...ops import matching, nms as nms_lib
 from ...ops.mask_target import mask_targets_for_rois
 from ...ops.proposals import generate_proposals
-from ...ops.topk import topk_select
 from ...ops.roi_align import multilevel_roi_align
 from ..backbones.resnet import ResNet
 from ..heads.bbox_head import BBoxHead, MaskHead
@@ -481,9 +480,7 @@ def rcnn_postprocess(outputs: dict, cfg: Config, image_hw: tuple[int, int],
             jnp.arange(num_classes)[None, :], (r, num_classes)).reshape(-1)
 
         k = min(t.pre_nms_per_class, flat_scores.shape[0])
-        # sort-free exact selection (ops/topk.py): the (rois x classes)
-        # score matrix is 80k entries at test defaults
-        top_scores, idx = topk_select(flat_scores, k)
+        top_scores, idx = jax.lax.top_k(flat_scores, k)
         ob, os_, ol, ov = nms_lib.class_aware_nms_from_cfg(
             t, flat_boxes[idx], top_scores, flat_labels[idx])
         ob = box_lib.clip_boxes(ob / info[2], info[:2])

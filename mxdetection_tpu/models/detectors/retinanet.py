@@ -18,7 +18,6 @@ from ...losses import sigmoid_focal_loss, smooth_l1_loss
 from ...ops import anchors as anchor_lib
 from ...ops import boxes as box_lib
 from ...ops import matching, nms
-from ...ops.topk import topk_select
 from ..backbones.resnet import ResNet
 from ..heads.retina import RetinaHead
 from ..necks.fpn import FPN
@@ -163,9 +162,9 @@ def retinanet_postprocess(outputs: dict, cfg: Config, image_hw: tuple[int, int],
         Works on bf16 logits (sigmoid is monotonic; applied to winners only).
         """
         ka = min(k, logits.shape[0])
-        _, a1 = topk_select(jnp.max(logits, axis=-1).astype(jnp.float32), ka)
+        _, a1 = jax.lax.top_k(jnp.max(logits, axis=-1), ka)
         rows = logits[a1].astype(jnp.float32)          # (ka, C)
-        s2, f2 = topk_select(rows.reshape(-1), min(k, ka * num_classes))
+        s2, f2 = jax.lax.top_k(rows.reshape(-1), min(k, ka * num_classes))
         return s2, a1[f2 // num_classes], f2 % num_classes
 
     def one_image(cls_i, reg_i, info):

@@ -19,7 +19,6 @@ import jax.numpy as jnp
 
 from . import boxes as box_lib
 from . import nms as nms_lib
-from .topk import topk_select
 
 Array = jax.Array
 
@@ -42,10 +41,11 @@ def generate_proposals_single(
         scores = cl.reshape(-1).astype(jnp.float32)
         deltas = bd.reshape(-1, 4).astype(jnp.float32)
         k = min(pre_nms_top_n, scores.shape[0])
-        # radix-bisection selection (ops/topk.py) — bit-identical to
-        # lax.top_k but O(N) instead of a full sort; the big FPN levels
-        # (P2: 209k scores) otherwise dominate the proposal stage
-        top_scores, idx = topk_select(scores, k)
+        # lax.top_k is a fast partial sort on XLA:TPU at these shapes
+        # (7.8 ms for (32, 209k) k=1000); the radix-bisection alternative
+        # (ops/topk.py) measured SLOWER here — its cumsum+scatter
+        # compaction costs ~40 ms (tools/exp_topk2.py, BASELINE.md)
+        top_scores, idx = jax.lax.top_k(scores, k)
         b = box_lib.decode_boxes(an[idx], deltas[idx], stds=bbox_stds)
         b = box_lib.clip_boxes(b, image_hw)
         ok = box_lib.valid_box_mask(b, min_box_size)

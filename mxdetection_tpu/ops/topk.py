@@ -1,22 +1,28 @@
-"""Exact top-k selection without a full sort.
-
-``jax.lax.top_k`` lowers to a full O(N log N) sort on XLA:TPU, which
-dominates the RPN proposal path: each FPN level ranks H*W*A objectness
-scores (209k at P2 for an 832x1344 canvas) to keep only k=1000-2000.
-The reference family pays the same cost as a CUDA radix sort inside the
-Proposal op (SURVEY.md §2.2 "Proposal op"); on TPU we can do much better
-because selection needs only the k-th value, not a total order.
+"""Exact top-k selection without a full sort — a MEASURED NEGATIVE at
+proposal shapes; kept opt-in (see verdict below).
 
 ``topk_select`` finds the exact k-th-largest threshold by a 32-step radix
 bisection on the monotone uint32 image of the float scores (each step is
 one vectorized count — O(N) VPU work, no data movement), then compacts the
-winners with one cumsum + scatter and sorts just those k. Total work is
-O(32*N + k log k) elementwise passes instead of a full sort.
+winners with one cumsum + scatter and sorts just those k.
 
 Semantics match ``lax.top_k`` EXACTLY (same selected set, same output
 order, ties broken by lowest index) for non-NaN inputs; -0.0 is
 canonicalized to +0.0 so the two compare equal as they do in sorting.
 Verified bit-exact against ``lax.top_k`` in tests/test_topk.py.
+
+Measured verdict (TPU v5e, tools/exp_topk.py + exp_topk2.py, BASELINE.md
+round 3): at the RPN proposal shapes this was built for ((32, 209k)
+k=1000, (8, 209k) k=2000) ``lax.top_k`` is NOT the full-sort pathology —
+XLA:TPU emits a fast partial sort (7.8 ms at (32, 209k)) — while this
+op's cumsum+scatter compaction alone costs ~40 ms (the bisection itself
+is fine: 3.9 ms for 32 exact passes; a 4-bit/15-candidate variant is no
+better at 4.2 ms). The full-sort blowup only appears at millions of rows
+(RetinaNet's 12.6M (anchor, class) pairs: 1.3 s/batch32), and that case
+is better served by the structural two-stage selection in
+``models/detectors/retinanet.py::topk_pairs``. Hot paths therefore keep
+``lax.top_k``; this op remains for callers with extreme N/k ratios where
+a scatter-free compaction would be worth building.
 """
 
 from __future__ import annotations
