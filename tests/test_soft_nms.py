@@ -106,6 +106,44 @@ def test_class_aware_no_cross_class_decay():
     assert list(ol[:3]) == [0, 1, 0]
 
 
+def test_postprocess_integration_soft_gaussian():
+    """Flagship detector postprocess with test.nms_method=soft_gaussian:
+    valid detections, non-increasing scores, boxes inside the image."""
+    from mxdetection_tpu.config import load_config
+    from mxdetection_tpu.models.registry import build_detector
+
+    cfg = load_config("configs/faster_rcnn_r50_fpn_1x.py").override(**{
+        "data.pad_h": 256, "data.pad_w": 320,
+        "data.scale": 240, "data.max_size": 320,
+        "backbone.dtype": "float32",
+        "bbox_head.num_samples": 32,
+        "rpn.pre_nms_top_n_test": 400, "rpn.post_nms_top_n_test": 100,
+        "test.pre_nms_per_class": 200, "test.max_per_image": 20,
+        "test.nms_method": "soft_gaussian", "test.score_thr": 1e-3,
+    })
+    bundle = build_detector(cfg)
+    r = np.random.RandomState(0)
+    img = (r.rand(256, 320, 3) * 60).astype(np.float32)
+    img[40:120, 50:170] += 120.0
+    img = np.clip(img, 0, 255) / 255.0
+    tb = {"images": jnp.asarray(img[None], jnp.float32),
+          "im_info": jnp.asarray([[256.0, 320.0, 1.0]]),
+          "gt_boxes": jnp.zeros((1, 8, 4)),
+          "gt_labels": jnp.zeros((1, 8), jnp.int32),
+          "gt_valid": jnp.zeros((1, 8), bool)}
+    variables = bundle.init(jax.random.PRNGKey(7), tb)
+    out = bundle.apply_eval(variables, {"images": tb["images"],
+                                        "im_info": tb["im_info"]})
+    dets = bundle.postprocess(out, cfg, (256, 320), tb["im_info"])
+    v = np.asarray(dets["valid"][0])
+    s = np.asarray(dets["scores"][0])[v]
+    b = np.asarray(dets["boxes"][0])[v]
+    assert v.sum() > 0
+    assert np.all(np.diff(s) <= 1e-7)
+    assert np.all(b[:, 0] >= 0) and np.all(b[:, 1] >= 0)
+    assert np.all(b[:, 2] <= 320) and np.all(b[:, 3] <= 256)
+
+
 def test_cfg_dispatch():
     from mxdetection_tpu.config import load_config
     cfg = load_config("configs/faster_rcnn_r50_fpn_1x.py")
