@@ -89,9 +89,14 @@ def main():
     }
     dev_batch = jax.device_put(batch, trainer._batch_sharding)
 
+    # snapshot BEFORE variant A donates the live state
+    host_state_early = jax.tree.map(lambda x: np.asarray(jax.device_get(x)),
+                                    trainer.state)
+
     # ---- A: the real step ----
-    sA = timed("A full trainer step (shard_map)", trainer._step_for(False),
-               trainer.state, dev_batch)
+    if "A" in os.environ.get("VARIANTS", "A"):
+        timed("A full trainer step (shard_map)", trainer._step_for(False),
+              trainer.state, dev_batch)
 
     # shared pieces for variants
     out_hw = (d.pad_h, d.pad_w)
@@ -131,7 +136,10 @@ def main():
                 if not reuse_norm:
                     metrics["grad_norm"] = optax.global_norm(grads)
             else:
-                metrics = {}
+                # loss only: no grad_norm pass, no per-metric pmeans (a real
+                # scalar is still returned so the timing harness has a
+                # non-donated array to fetch)
+                metrics = {"loss": loss}
             if reuse_norm:
                 # one global-norm pass: clip manually, feed a clip-less chain
                 gnorm = optax.global_norm(grads)
@@ -160,8 +168,7 @@ def main():
         optax.sgd(learning_rate=lr_fn, momentum=o.momentum))
 
     rep = NamedSharding(mesh, P())
-    host_state = jax.tree.map(lambda x: np.asarray(jax.device_get(x)),
-                              trainer.state)
+    host_state = host_state_early
 
     def fresh_state(tx_for=None):
         s = host_state
@@ -175,23 +182,28 @@ def main():
         return jax.device_put(s, rep)
 
     jit = lambda f: jax.jit(f, donate_argnums=(0,))
+    variants = os.environ.get("VARIANTS", "BCDEF")
 
-    timed("B plain jit, no shard_map/pmean", jit(make_body()),
-          fresh_state(), dev_batch)
-    timed("C plain jit, metrics dropped", jit(make_body(with_metrics=False)),
-          fresh_state(), dev_batch)
-    # D: hoist the transform
-    tb_pre = jax.jit(device_tb)(dev_batch)
-    jax.device_get(tb_pre["im_info"])
-    timed("D plain jit, transform hoisted out",
-          jit(make_body(pre_transformed=True)), fresh_state(), tb_pre)
-    timed("E plain jit, single global-norm pass",
-          jit(make_body(reuse_norm=True)), fresh_state(tx_noclip), dev_batch)
-    # F: transform alone
-    def tf_only(state, batch):
-        tb = device_tb(batch)
-        return state, {"x": tb["images"][0, 0, 0, 0]}
-    timed("F transform alone", jax.jit(tf_only), fresh_state(), dev_batch)
+    if "B" in variants:
+        timed("B plain jit, no shard_map/pmean", jit(make_body()),
+              fresh_state(), dev_batch)
+    if "C" in variants:
+        timed("C plain jit, metrics dropped", jit(make_body(with_metrics=False)),
+              fresh_state(), dev_batch)
+    if "D" in variants:
+        # D: hoist the transform
+        tb_pre = jax.jit(device_tb)(dev_batch)
+        jax.device_get(tb_pre["im_info"])
+        timed("D plain jit, transform hoisted out",
+              jit(make_body(pre_transformed=True)), fresh_state(), tb_pre)
+    if "E" in variants:
+        timed("E plain jit, single global-norm pass",
+              jit(make_body(reuse_norm=True)), fresh_state(tx_noclip), dev_batch)
+    if "F" in variants:
+        def tf_only(state, batch):
+            tb = device_tb(batch)
+            return state, {"x": tb["images"][0, 0, 0, 0]}
+        timed("F transform alone", jax.jit(tf_only), fresh_state(), dev_batch)
 
 
 if __name__ == "__main__":
