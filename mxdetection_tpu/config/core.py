@@ -192,6 +192,11 @@ class TestCfg:
     # soft methods use nms_thr as the linear decay threshold Nt)
     nms_method: str = "greedy"
     soft_sigma: float = 0.5               # gaussian soft-NMS decay width
+    # box voting (Gidaris & Komodakis 2015): replace each post-NMS box by the
+    # score-weighted average of same-class pre-NMS candidates with IoU >=
+    # vote_thr (the family's test-time `bbox_vote` option next to soft-NMS)
+    bbox_vote: bool = False
+    vote_thr: float = 0.8
     flip_tta: bool = False
     scales_tta: Tuple[int, ...] = _tup()
 

@@ -120,9 +120,10 @@ class Evaluator:
             t = cfg.test
 
             def one(boxes, scores, labels, valid, w):
-                b2, s2, l2, v2 = nms_lib.class_aware_nms(
-                    boxes, scores, labels, t.nms_thr, t.max_per_image,
-                    valid=valid, score_thr=t.score_thr)
+                # full test-time dispatch (greedy/soft-NMS + optional box
+                # voting) so TTA merging honors the same cfg as single-pass
+                b2, s2, l2, v2 = nms_lib.class_aware_nms_from_cfg(
+                    t, boxes, scores, labels, valid=valid)
                 return {"boxes": b2, "scores": s2, "labels": l2, "valid": v2}
 
             parts = {"boxes": [], "scores": [], "labels": [], "valid": []}

@@ -271,20 +271,61 @@ def soft_nms(
     return out_boxes, jnp.where(out_valid, svals, 0.0), out_valid
 
 
+def box_voting(
+    kept_boxes: Array,
+    kept_labels: Array,
+    kept_valid: Array,
+    pool_boxes: Array,
+    pool_scores: Array,
+    pool_labels: Array,
+    vote_thr: float,
+    pool_valid: Array | None = None,
+) -> Array:
+    """Box voting (Gidaris & Komodakis 2015): refine each post-NMS box as the
+    score-weighted average of same-class pre-NMS candidates overlapping it.
+
+    Family repos ship this as the test-time ``bbox_vote`` option next to
+    soft-NMS in the per-class host loop of ``*/core/tester.py``; here it is
+    one (K, N) IoU + two matmul-shaped contractions — fixed shapes, no loop.
+    Scores are left unchanged (reference semantics). Returns refined boxes.
+    """
+    if pool_valid is None:
+        pool_valid = jnp.ones(pool_scores.shape, bool)
+    iou = pairwise_iou(kept_boxes, pool_boxes)                      # (K, N)
+    same = kept_labels[:, None] == pool_labels[None, :]
+    m = (iou >= vote_thr) & same & pool_valid[None, :] & kept_valid[:, None]
+    w = jnp.where(m, jnp.maximum(pool_scores, 0.0)[None, :], 0.0)   # (K, N)
+    num = w @ pool_boxes.astype(w.dtype)                            # (K, 4)
+    den = jnp.sum(w, axis=1, keepdims=True)
+    # a kept box always matches itself (IoU 1) unless its own score is 0;
+    # fall back to the original coords when no weight survives
+    voted = jnp.where(den > 0, num / jnp.maximum(den, 1e-12), kept_boxes)
+    return jnp.where(kept_valid[:, None], voted, kept_boxes)
+
+
 def class_aware_nms_from_cfg(t, boxes: Array, scores: Array, labels: Array,
                              valid: Array | None = None):
     """Test-time class-aware NMS dispatch by ``TestCfg.nms_method``:
-    "greedy" (default hard NMS), "soft_linear", or "soft_gaussian"."""
+    "greedy" (default hard NMS), "soft_linear", or "soft_gaussian";
+    optional post-pass box voting (``TestCfg.bbox_vote``) over the
+    pre-NMS candidate pool handed to this call."""
     if t.nms_method == "greedy":
-        return class_aware_nms(boxes, scores, labels, t.nms_thr,
-                               t.max_per_image, valid=valid,
-                               score_thr=t.score_thr)
-    if not t.nms_method.startswith("soft_"):
+        out = class_aware_nms(boxes, scores, labels, t.nms_thr,
+                              t.max_per_image, valid=valid,
+                              score_thr=t.score_thr)
+    elif t.nms_method.startswith("soft_"):
+        out = class_aware_soft_nms(
+            boxes, scores, labels, t.max_per_image,
+            method=t.nms_method[len("soft_"):], iou_thr=t.nms_thr,
+            sigma=t.soft_sigma, score_thr=t.score_thr, valid=valid)
+    else:
         raise ValueError(f"unknown test.nms_method {t.nms_method!r}")
-    return class_aware_soft_nms(
-        boxes, scores, labels, t.max_per_image,
-        method=t.nms_method[len("soft_"):], iou_thr=t.nms_thr,
-        sigma=t.soft_sigma, score_thr=t.score_thr, valid=valid)
+    if getattr(t, "bbox_vote", False):
+        ob, os_, ol, ov = out
+        ob = box_voting(ob, ol, ov, boxes, scores, labels, t.vote_thr,
+                        pool_valid=valid)
+        out = (ob, os_, ol, ov)
+    return out
 
 
 def class_aware_soft_nms(

@@ -46,7 +46,8 @@ def timed(name, fn, *args, iters=10):
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    cfg = load_config("configs/faster_rcnn_r50_fpn_1x.py")
+    cfg_path = sys.argv[2] if len(sys.argv) > 2 else "configs/faster_rcnn_r50_fpn_1x.py"
+    cfg = load_config(cfg_path)
     d = cfg.data
     pad_hw = (d.pad_h, d.pad_w)
     bundle = build_detector(cfg)
