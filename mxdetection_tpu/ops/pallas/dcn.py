@@ -65,7 +65,7 @@ def _kernel(oy_ref, ox_ref, x_hbm, w_ref, out_ref, win, sem, *,
     blk_hi = jnp.floor(jnp.max(oy_blk)).astype(jnp.int32) + radius
 
     for i in range(BR):
-        out_acc = jnp.zeros((out_ref.shape[2], cout), jnp.float32)
+        accs = []
         for t, (ty, tx) in enumerate(taps):
             col = i * 9 + t
             oy = jnp.clip(oy_ref[0, :, col:col + 1], -radius, radius)  # (Wq, 1)
@@ -103,14 +103,18 @@ def _kernel(oy_ref, ox_ref, x_hbm, w_ref, out_ref, win, sem, *,
                     acc = acc + m * sl
                 return acc
 
-            acc_t = jax.lax.fori_loop(
+            accs.append(jax.lax.fori_loop(
                 blk_lo, blk_hi + 2, dy_body,
-                jnp.zeros((out_w, c), win.dtype))
+                jnp.zeros((out_w, c), win.dtype)))
 
-            w_t = w_ref[t * c:(t + 1) * c, :]  # (C, Cout)
-            out_acc = out_acc + jax.lax.dot_general(
-                acc_t, w_t, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+        # ONE (out_w, 9C) @ (9C, Cout) matmul per row instead of 9 per-tap
+        # (out_w, C) @ (C, Cout) matmuls: the per-matmul issue overhead was
+        # the radius-independent base cost of this kernel (~7.9 of 14.1 ms
+        # on the stage-3 layer, tools/exp_dcn2.py)
+        patch = jnp.concatenate(accs, axis=1)                   # (out_w, 9C)
+        out_acc = jax.lax.dot_general(
+            patch, w_ref[:, :], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         out_ref[0, i, :, :] = out_acc.astype(out_ref.dtype)
 
 
@@ -225,7 +229,7 @@ def _kernel_s2(oy_ref, ox_ref, x_hbm, w_ref, out_ref, win, sem, *,
     blk_hi = jnp.floor(jnp.max(oy_blk)).astype(jnp.int32) + radius
 
     for i in range(BR):
-        out_acc = jnp.zeros((out_w, cout), jnp.float32)
+        accs = []
         for t, (ty, tx) in enumerate(taps):
             col = i * 9 + t
             oy = jnp.clip(oy_ref[0, :, col:col + 1], -radius, radius)
@@ -256,14 +260,15 @@ def _kernel_s2(oy_ref, ox_ref, x_hbm, w_ref, out_ref, win, sem, *,
                     acc = acc + m * sl
                 return acc
 
-            acc_t = jax.lax.fori_loop(
+            accs.append(jax.lax.fori_loop(
                 blk_lo, blk_hi + 2, dy_body,
-                jnp.zeros((out_w, c), win.dtype))
+                jnp.zeros((out_w, c), win.dtype)))
 
-            w_t = w_ref[t * c:(t + 1) * c, :]
-            out_acc = out_acc + jax.lax.dot_general(
-                acc_t, w_t, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+        # single fused (out_w, 9C) @ (9C, Cout) matmul (see _kernel)
+        patch = jnp.concatenate(accs, axis=1)
+        out_acc = jax.lax.dot_general(
+            patch, w_ref[:, :], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         out_ref[0, i, :, :] = out_acc.astype(out_ref.dtype)
 
 
