@@ -1,1 +1,1 @@
-from . import anchors, boxes, matching, nms, roi_align  # noqa: F401
+from . import anchors, boxes, matching, nms, psroi, roi_align  # noqa: F401
