@@ -31,6 +31,9 @@ class BackboneCfg:
     # rematerialize backbone blocks in the backward pass (trade FLOPs for
     # HBM: enables larger per-chip batches; SURVEY.md HBM-bandwidth note)
     remat: bool = False
+    # R-FCN-style dilated stage 5: stride 1 + dilation 2 in layer4, so C5
+    # stays at stride 16 (the family's py-R-FCN/Deformable-ConvNets conv5)
+    dilated_c5: bool = False
 
 
 @dataclass(frozen=True)
@@ -122,6 +125,17 @@ class RetinaHeadCfg:
 
 
 @dataclass(frozen=True)
+class RfcnHeadCfg:
+    """R-FCN position-sensitive head (family: py-R-FCN / Deformable-ConvNets
+    ``rfcn`` symbols; SURVEY.md §2.2 DCN row names deformable PSRoIPool)."""
+
+    ps_grid: int = 7                      # k: k*k position-sensitive bins
+    reduce_channels: int = 1024           # 1x1 "conv_new" after dilated C5
+    deform_pool: bool = False             # deformable PSRoIPool (DCN family)
+    trans_std: float = 0.1                # DCN-paper offset scaling
+
+
+@dataclass(frozen=True)
 class CascadeCfg:
     num_stages: int = 3
     stage_iou_thrs: Tuple[float, ...] = _tup(0.5, 0.6, 0.7)
@@ -206,7 +220,7 @@ class Config:
     """Root config. ``detector`` picks the meta-architecture."""
 
     name: str = "faster_rcnn_r50_fpn"
-    detector: str = "faster_rcnn"         # faster_rcnn|mask_rcnn|cascade_rcnn|retinanet
+    detector: str = "faster_rcnn"         # faster_rcnn|mask_rcnn|cascade_rcnn|retinanet|rfcn
     backbone: BackboneCfg = BackboneCfg()
     fpn: FPNCfg = FPNCfg()
     rpn: RpnCfg = RpnCfg()
@@ -214,6 +228,7 @@ class Config:
     bbox_head: BboxHeadCfg = BboxHeadCfg()
     mask_head: MaskHeadCfg | None = None
     retina_head: RetinaHeadCfg | None = None
+    rfcn_head: RfcnHeadCfg | None = None
     cascade: CascadeCfg | None = None
     data: DataCfg = DataCfg()
     train: TrainCfg = TrainCfg()

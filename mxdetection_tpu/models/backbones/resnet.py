@@ -129,16 +129,19 @@ class DeformConv(nn.Module):
 
     features: int
     stride: int = 1
+    dilation: int = 1
     dtype: Any = jnp.bfloat16
     inference: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        d = self.dilation
         offsets = nn.Conv(
             features=2 * 9,
             kernel_size=(3, 3),
             strides=(self.stride, self.stride),
-            padding=[(1, 1), (1, 1)],
+            kernel_dilation=(d, d),
+            padding=[(d, d), (d, d)],
             dtype=jnp.float32,
             param_dtype=jnp.float32,
             kernel_init=nn.initializers.zeros,
@@ -149,7 +152,7 @@ class DeformConv(nn.Module):
         )
         out = deform_conv2d_batched(
             x.astype(self.dtype), offsets, weight.astype(self.dtype),
-            stride=self.stride, inference=self.inference,
+            stride=self.stride, dilation=d, inference=self.inference,
         )
         return out.astype(self.dtype)
 
@@ -159,6 +162,7 @@ class Bottleneck(nn.Module):
 
     channels: int            # bottleneck width; output is channels * 4
     stride: int = 1
+    dilation: int = 1        # 3x3 dilation (R-FCN dilated-C5: stride 1, dil 2)
     use_dcn: bool = False
     norm: Callable[[], nn.Module] = None
     dtype: Any = jnp.bfloat16
@@ -171,10 +175,12 @@ class Bottleneck(nn.Module):
         out = self.norm(name="bn1")(out)
         out = nn.relu(out)
         if self.use_dcn:
-            out = DeformConv(self.channels, stride=self.stride, dtype=self.dtype,
+            out = DeformConv(self.channels, stride=self.stride,
+                             dilation=self.dilation, dtype=self.dtype,
                              inference=self.inference, name="conv2")(out)
         else:
-            out = conv(self.channels, 3, self.stride, dtype=self.dtype, name="conv2")(out)
+            out = conv(self.channels, 3, self.stride, dilation=self.dilation,
+                       dtype=self.dtype, name="conv2")(out)
         out = self.norm(name="bn2")(out)
         out = nn.relu(out)
         out = conv(self.channels * 4, 1, 1, dtype=self.dtype, name="conv3")(out)
@@ -209,6 +215,9 @@ class ResNet(nn.Module):
     # boundary at the pool output costs more than the conv win. Exact
     # either way; flip on for shapes/toolchains where it might differ.
     s2d_stem: bool = False
+    # R-FCN-family dilated stage 5: layer4 runs stride 1 / dilation 2 so C5
+    # stays at stride 16 (py-R-FCN & Deformable-ConvNets conv5 convention)
+    dilated_c5: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> tuple:
@@ -248,10 +257,14 @@ class ResNet(nn.Module):
         block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
         for stage in range(4):
             stride = 1 if stage == 0 else 2
+            dilation = 1
+            if stage == 3 and self.dilated_c5:
+                stride, dilation = 1, 2
             for b in range(blocks[stage]):
                 x = block_cls(
                     channels=widths[stage],
                     stride=stride if b == 0 else 1,
+                    dilation=dilation,
                     use_dcn=self.dcn_stages[stage],
                     norm=norm,
                     dtype=self.dtype,

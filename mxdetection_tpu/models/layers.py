@@ -118,7 +118,8 @@ def make_norm(kind: str, dtype=jnp.bfloat16, train: bool = True) -> Callable[...
     raise ValueError(f"unknown norm {kind!r}")
 
 
-def conv(features: int, kernel: int = 3, stride: int = 1, *, dtype=jnp.bfloat16,
+def conv(features: int, kernel: int = 3, stride: int = 1, *, dilation: int = 1,
+         dtype=jnp.bfloat16,
          name: str | None = None, use_bias: bool = False,
          kernel_init=nn.initializers.he_normal(),
          bias_init=nn.initializers.zeros) -> nn.Conv:
@@ -127,7 +128,8 @@ def conv(features: int, kernel: int = 3, stride: int = 1, *, dtype=jnp.bfloat16,
         features=features,
         kernel_size=(kernel, kernel),
         strides=(stride, stride),
-        padding=[(kernel // 2, kernel // 2)] * 2,
+        kernel_dilation=(dilation, dilation),
+        padding=[(dilation * (kernel // 2), dilation * (kernel // 2))] * 2,
         use_bias=use_bias,
         dtype=dtype,
         param_dtype=jnp.float32,

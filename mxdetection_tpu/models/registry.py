@@ -51,11 +51,17 @@ def build_detector(cfg: Config) -> DetectorBundle:
 
         postprocess = retinanet_postprocess
 
-    elif cfg.detector in ("faster_rcnn", "mask_rcnn", "cascade_rcnn"):
+    elif cfg.detector in ("faster_rcnn", "mask_rcnn", "cascade_rcnn", "rfcn"):
         from .detectors.rcnn import RCNN, rcnn_loss, rcnn_postprocess
 
-        model = RCNN(cfg, train=True)
-        model_eval = RCNN(cfg, train=False)
+        if cfg.detector == "rfcn":
+            # R-FCN shares the R-CNN loss/postprocess contract; only the
+            # per-roi head differs (PSRoIPool vote instead of RoIAlign+fc)
+            from .detectors.rfcn import RFCN as cls_
+        else:
+            cls_ = RCNN
+        model = cls_(cfg, train=True)
+        model_eval = cls_(cfg, train=False)
 
         def init(rng, tb):
             return model.init(rng, tb, jax.random.PRNGKey(0))

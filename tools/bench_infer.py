@@ -52,7 +52,20 @@ def main():
                              dtype=jnp.dtype(cfg.backbone.dtype))
         out = bundle.apply_eval(variables, tb)
         dets = bundle.postprocess(out, cfg, pad_hw, tb["im_info"])
-        return dets["boxes"], dets["scores"], dets["labels"], dets["valid"]
+        res = [dets["boxes"], dets["scores"], dets["labels"], dets["valid"]]
+        if cfg.mask_head is not None:
+            # device-side mask branch for the final detections (same path the
+            # evaluator jits) — without this the "mask" config benches only
+            # the box path
+            logits = bundle.model_eval.apply(
+                variables, out["pyramid"],
+                dets["boxes"] * tb["im_info"][:, 2][:, None, None],
+                dets["valid"], method=bundle.model_eval.mask_forward)
+            cls_idx = jnp.clip(dets["labels"], 0, cfg.bbox_head.num_classes - 1)
+            sel = jnp.take_along_axis(
+                logits, cls_idx[:, :, None, None, None], axis=-1)[..., 0]
+            res.append(jax.nn.sigmoid(sel))
+        return tuple(res)
 
     fwd = jax.jit(forward)
     rng_np = np.random.RandomState(0)
