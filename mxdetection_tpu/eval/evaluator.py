@@ -90,8 +90,11 @@ class Evaluator:
         if cfg.test.flip_tta:
             self.tta_variants += [(s, True) for (s, _) in list(self.tta_variants)]
 
+        self._want_masks = with_masks and cfg.mask_head is not None
+
         def forward(variables, batch, scale_size=d.scale, flip=False,
-                    out_hw=(d.pad_h, d.pad_w)):
+                    out_hw=(d.pad_h, d.pad_w), want_masks=self._want_masks,
+                    keep_pyramid=False):
             flips = jnp.full_like(batch["flip"], flip) if flip else batch["flip"]
             tb = batch_transform(
                 batch["raw"], batch["hw"], flips, batch["gt_boxes"],
@@ -99,7 +102,7 @@ class Evaluator:
                 mean=d.mean, std=d.std, dtype=jnp.dtype(cfg.backbone.dtype))
             out = bundle.apply_eval(variables, tb)
             dets = bundle.postprocess(out, cfg, out_hw, tb["im_info"])
-            if with_masks and cfg.mask_head is not None:
+            if want_masks:
                 logits = bundle.model_eval.apply(
                     variables, out["pyramid"],
                     dets["boxes"] * tb["im_info"][:, 2][:, None, None],
@@ -108,10 +111,14 @@ class Evaluator:
                 sel = jnp.take_along_axis(
                     logits, cls_idx[:, :, None, None, None], axis=-1)[..., 0]
                 dets["masks"] = jax.nn.sigmoid(sel)
+            if keep_pyramid:
+                dets["pyramid"] = out["pyramid"]
+                dets["scale"] = tb["im_info"][:, 2]
             return dets
 
         self.forward = jax.jit(
-            forward, static_argnames=("scale_size", "flip", "out_hw"))
+            forward, static_argnames=("scale_size", "flip", "out_hw",
+                                      "want_masks", "keep_pyramid"))
 
         def merge_tta(det_list, im_w):
             """Merge per-variant detections: unflip, concat, final NMS."""
@@ -141,6 +148,41 @@ class Evaluator:
 
         self.merge_tta = jax.jit(merge_tta)
 
+        def tta_masks(variables, pyramids, scales, boxes, valid, labels, im_w):
+            """Mask merging for multi-scale/flip TTA.
+
+            The reference family merges TTA masks via ``gpu_mask_voting``
+            (score-weighted aggregation of candidate masks, host loop over
+            classes; SURVEY.md §2.2 "Multi-scale / flip test" — box/mask
+            merging). TPU-first re-design: instead of warping suppressed
+            candidates' 28x28 masks between box frames, re-run the mask head
+            on the FINAL merged boxes against every variant's retained
+            pyramid (boxes mapped into each variant's resized/flipped frame,
+            predicted masks unflipped) and average the per-variant
+            probabilities — the same multi-view mask evidence with fixed
+            shapes, no host loop, and exact box/mask alignment.
+            """
+            from ..ops import boxes as box_lib
+            probs = None
+            for (_, flip), pyr, scale in zip(self.tta_variants, pyramids, scales):
+                bx = boxes
+                if flip:
+                    bx = jax.vmap(box_lib.flip_boxes)(bx, im_w)
+                bx = bx * scale[:, None, None]
+                logits = bundle.model_eval.apply(
+                    variables, pyr, bx, valid,
+                    method=bundle.model_eval.mask_forward)
+                cls_idx = jnp.clip(labels, 0, cfg.bbox_head.num_classes - 1)
+                sel = jnp.take_along_axis(
+                    logits, cls_idx[:, :, None, None, None], axis=-1)[..., 0]
+                p = jax.nn.sigmoid(sel)
+                if flip:
+                    p = jnp.flip(p, axis=-1)  # masks are (y, x) in box frame
+                probs = p if probs is None else probs + p
+            return probs / float(len(self.tta_variants))
+
+        self.tta_masks = jax.jit(tta_masks)
+
     def run(self, max_images: int | None = None, verbose: bool = True) -> dict:
         from .rle import encode_rle
         from ..parallel.dist import all_gather_objects
@@ -161,11 +203,26 @@ class Evaluator:
             portrait = bool(batch.pop("portrait", False))
             out_hw = (d.pad_w, d.pad_h) if portrait else (d.pad_h, d.pad_w)
             if len(self.tta_variants) > 1:
+                # per-variant mask heads are skipped: masks are recomputed on
+                # the merged boxes afterwards (tta_masks) from the retained
+                # pyramids, so each variant only pays backbone + box path
                 per_variant = [self.forward(self.variables, batch,
-                                            scale_size=s, flip=f, out_hw=out_hw)
+                                            scale_size=s, flip=f, out_hw=out_hw,
+                                            want_masks=False,
+                                            keep_pyramid=self._want_masks)
                                for (s, f) in self.tta_variants]
                 im_w = jnp.asarray(batch["hw"][:, 1])
-                dets = jax.device_get(self.merge_tta(per_variant, im_w))
+                box_keys = ("boxes", "scores", "labels", "valid")
+                merged = self.merge_tta(
+                    [{k: dv[k] for k in box_keys} for dv in per_variant], im_w)
+                if self._want_masks:
+                    merged["masks"] = self.tta_masks(
+                        self.variables,
+                        [dv["pyramid"] for dv in per_variant],
+                        [dv["scale"] for dv in per_variant],
+                        merged["boxes"], merged["valid"], merged["labels"],
+                        im_w)
+                dets = jax.device_get(merged)
             else:
                 dets = jax.device_get(
                     self.forward(self.variables, batch, out_hw=out_hw))

@@ -260,7 +260,15 @@ class RCNN(nn.Module):
         if c.mask_head is not None:
             m = c.mask_head
             s1 = stages_out[0]
-            mask_feats = batched_roi_align(pyramid, s1["rois"], s1["pos"], c,
+            # The mask loss only sees foreground rois, and sample_rois gathers
+            # the fg band first, so every positive lives in the static
+            # fg-quota prefix. Running the branch on that prefix reproduces
+            # the reference's fg-only mask branch (MaskTargetOperator on fg
+            # rois) at 1/4 the RoIAlign+head cost of the full sampled set.
+            mp = int(round(c.bbox_head.num_samples * c.bbox_head.pos_fraction))
+            mask_rois = s1["rois"][:, :mp]
+            mask_pos = s1["pos"][:, :mp]
+            mask_feats = batched_roi_align(pyramid, mask_rois, mask_pos, c,
                                            m.roi_output_size)
             s = mask_feats.shape[1]
             mask_logits = self.mask_head(
@@ -269,7 +277,8 @@ class RCNN(nn.Module):
             out["mask_targets"] = jax.vmap(
                 lambda bm, gb, r, mg: mask_targets_for_rois(
                     bm, gb, r, mg, out_size=m.mask_size)
-            )(tb["box_masks"], tb["gt_boxes"], s1["rois"], sampled.matched_gt)
+            )(tb["box_masks"], tb["gt_boxes"], mask_rois,
+              sampled.matched_gt[:, :mp])
         return out
 
     # -- inference ---------------------------------------------------------
@@ -429,6 +438,8 @@ def rcnn_loss(outputs: dict, tb: dict, rng: Array, cfg: Config) -> tuple[Array, 
 
     if "mask_logits" in outputs:
         s1 = outputs["stages"][0]
+        # the branch ran on the fg-quota prefix only (see forward_train)
+        mp = outputs["mask_logits"].shape[1]
 
         def mask_one(logits_i, tgt_i, labels_i, pos_i):
             # per-roi class slice: logits (S, M, M, C) -> (S, M, M)
@@ -438,7 +449,8 @@ def rcnn_loss(outputs: dict, tb: dict, rng: Array, cfg: Config) -> tuple[Array, 
             return mask_bce_loss(sel, tgt_i, pos_i)
 
         ml = jax.vmap(mask_one)(
-            outputs["mask_logits"], outputs["mask_targets"], s1["labels"], s1["pos"])
+            outputs["mask_logits"], outputs["mask_targets"],
+            s1["labels"][:, :mp], s1["pos"][:, :mp])
         metrics["loss_mask"] = jnp.mean(ml) * c.mask_head.loss_weight
         total = total + metrics["loss_mask"]
 

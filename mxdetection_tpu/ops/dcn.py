@@ -210,5 +210,13 @@ def deform_conv2d_batched(x, offsets, weight, bias=None, *, stride=1, dilation=1
             return out.astype(xi.dtype)
         return jax.vmap(one)(x, offsets)
 
-    fn = lambda xi, oi: deform_conv2d(xi, oi, weight, bias, stride=stride, dilation=dilation)
-    return jax.vmap(fn)(x, offsets)
+    # Training path. The im2col patch tensor is k*k = 9x the activation size
+    # per DCN layer; saving it (and its f32 bilinear accumulator) for the
+    # backward pass OOMs HBM on deep DCN stacks (R101-DCN batch 8: 64G for
+    # 15.75G of HBM). Rematerialize instead: backward recomputes the bilinear
+    # gather from (x, offsets, weight), which are the only residuals kept.
+    def one(xi, oi, w, b):
+        return deform_conv2d(xi, oi, w, b, stride=stride, dilation=dilation)
+
+    one = jax.checkpoint(one)
+    return jax.vmap(lambda xi, oi: one(xi, oi, weight, bias))(x, offsets)

@@ -67,3 +67,26 @@ def test_grad_flows_through_offsets():
     g = jax.grad(loss)(off0)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+def test_batched_train_path_remat_exact():
+    """The batched training path remats the im2col patches (memory fix for
+    deep DCN stacks); jax.checkpoint must leave values AND grads bit-exact
+    vs the plain per-image formulation."""
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 8, 9, 4).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 4, 2).astype(np.float32) * 0.1)
+    off = jnp.asarray((rng.rand(2, 8, 9, 18) - 0.5).astype(np.float32))
+
+    def loss_batched(x_, off_, w_):
+        return jnp.sum(dcn.deform_conv2d_batched(x_, off_, w_) ** 2)
+
+    def loss_plain(x_, off_, w_):
+        out = jax.vmap(lambda xi, oi: dcn.deform_conv2d(xi, oi, w_))(x_, off_)
+        return jnp.sum(out ** 2)
+
+    vb, gb = jax.value_and_grad(loss_batched, argnums=(0, 1, 2))(x, off, w)
+    vp, gp = jax.value_and_grad(loss_plain, argnums=(0, 1, 2))(x, off, w)
+    np.testing.assert_allclose(float(vb), float(vp), rtol=1e-6)
+    for a, b in zip(gb, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

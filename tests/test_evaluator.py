@@ -53,8 +53,8 @@ def test_evaluator_tta_scales(setup):
     assert res["num_images"] == 4
 
 
-def test_evaluator_segm_mask_rcnn(tmp_path_factory):
-    """Mask R-CNN eval path: mask forward -> paste -> RLE -> segm metrics."""
+@pytest.fixture(scope="module")
+def segm_setup(tmp_path_factory):
     root = tmp_path_factory.mktemp("coco_segm")
     from mxdetection_tpu.data import make_synthetic_coco
     ann, img_dir = make_synthetic_coco(str(root), num_images=2, num_classes=3, seed=9)
@@ -75,7 +75,27 @@ def test_evaluator_segm_mask_rcnn(tmp_path_factory):
            "gt_valid": jnp.zeros((1, 8), bool),
            "box_masks": jnp.zeros((1, 8, 28, 28), jnp.uint8)}
     variables = bundle.init(jax.random.PRNGKey(0), tb0)
+    return cfg, bundle, variables, ds
+
+
+def test_evaluator_segm_mask_rcnn(segm_setup):
+    """Mask R-CNN eval path: mask forward -> paste -> RLE -> segm metrics."""
+    cfg, bundle, variables, ds = segm_setup
     ev = Evaluator(cfg, bundle, variables, ds, batch_size=2, raw_hw=(416, 416),
                    with_masks=True)
     res = ev.run(verbose=False)
     assert "segm" in res and "AP" in res["segm"]
+
+
+def test_evaluator_segm_tta_mask_merge(segm_setup):
+    """TTA + masks: merged boxes get averaged per-variant mask probabilities
+    (the family's gpu_mask_voting analog) instead of crashing with no masks."""
+    cfg, bundle, variables, ds = segm_setup
+    cfg_tta = cfg.override(**{"test.flip_tta": True})
+    ev = Evaluator(cfg_tta, bundle, variables, ds, batch_size=2,
+                   raw_hw=(416, 416), with_masks=True)
+    assert len(ev.tta_variants) == 2
+    res = ev.run(verbose=False)
+    assert res["num_images"] == 2
+    assert "segm" in res and "AP" in res["segm"]
+    assert np.isfinite(res["segm"]["AP"])

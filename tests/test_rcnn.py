@@ -111,15 +111,20 @@ def test_mask_rcnn_train(maskr):
     cfg, bundle, tb, variables = maskr
     rng = jax.random.PRNGKey(1)
     out, _ = bundle.apply_train(variables, tb, rng)
-    s = cfg.bbox_head.num_samples
-    assert out["mask_logits"].shape == (1, s, 28, 28, 5)
-    assert out["mask_targets"].shape == (1, s, 28, 28)
+    # mask branch runs on the static fg-quota prefix only (fg rois lead the
+    # sampled set), matching the reference's fg-only MaskTarget semantics
+    mp = int(round(cfg.bbox_head.num_samples * cfg.bbox_head.pos_fraction))
+    assert out["mask_logits"].shape == (1, mp, 28, 28, 5)
+    assert out["mask_targets"].shape == (1, mp, 28, 28)
+    # every positive must live inside that prefix
+    pos_full = np.asarray(out["stages"][0]["pos"][0])
+    assert not pos_full[mp:].any()
     loss, metrics = bundle.loss_fn(out, tb, rng, cfg)
     assert np.isfinite(float(loss)) and np.isfinite(float(metrics["loss_mask"]))
     # targets are binary and nonempty for positive rois
     tgt = np.asarray(out["mask_targets"])
     assert set(np.unique(tgt)) <= {0.0, 1.0}
-    pos = np.asarray(out["stages"][0]["pos"][0])
+    pos = pos_full[:mp]
     if pos.any():
         assert tgt[0][pos].sum() > 0
 
