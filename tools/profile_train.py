@@ -80,8 +80,20 @@ def main():
             {"params": params, "batch_stats": variables["batch_stats"]}, tb, rng)
         loss, _ = bundle.loss_fn(out, tb, rng, cfg)
         return loss
+    # NOTE: the jitted fn must USE the grads — returning only the value lets
+    # XLA dead-code-eliminate the entire backward pass (verified: HLO shrinks
+    # ~4x), silently turning this into a fwd-only timing. Reduce the grad
+    # pytree to one scalar inside jit (same trick as exp_dcn_bwd.py) so the
+    # backward runs but no big pytree crosses the relay.
+    def grad_scalar(gradfn):
+        def f(*a):
+            val, gs = gradfn(*a)
+            return val + sum(jnp.sum(jnp.abs(g).astype(jnp.float32))
+                             for g in jax.tree.leaves(gs)) * 0.0
+        return jax.jit(f)
+
     timed("fwd+bwd full loss",
-          jax.jit(lambda p, tb: jax.value_and_grad(full_loss)(p, tb)[0]),
+          grad_scalar(jax.value_and_grad(full_loss)),
           variables["params"], tb)
 
     # 3. backbone+fpn+rpn fwd+bwd in isolation
@@ -95,7 +107,7 @@ def main():
         return (sum(jnp.sum(c.astype(jnp.float32) ** 2) for c in cls)
                 + sum(jnp.sum(r.astype(jnp.float32) ** 2) for r in reg))
     timed("backbone+fpn+rpn fwd+bwd",
-          jax.jit(lambda p, im: jax.value_and_grad(conv_loss)(p, im)[0]),
+          grad_scalar(jax.value_and_grad(conv_loss)),
           variables["params"], tb["images"])
 
     # 4. rpn target assignment + loss (fwd only; sampling is stop-grad)
@@ -140,7 +152,7 @@ def main():
         f = batched_roi_align(pyr, rois, rvalid, cfg, 7)
         return jnp.sum(f.astype(jnp.float32) ** 2)
     timed(f"roi_align train fwd+bwd ({s} rois)",
-          jax.jit(lambda p: jax.value_and_grad(ra_loss)(p)[0]), pyramid)
+          grad_scalar(jax.value_and_grad(ra_loss)), pyramid)
 
 
 if __name__ == "__main__":
