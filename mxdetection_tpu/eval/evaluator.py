@@ -198,7 +198,12 @@ class Evaluator:
         seen: set = set()
         records: list = []  # per-image host records, merged across processes
         d = self.cfg.data
+        # Steady-state throughput: the first batch pays jit compilation
+        # (20-40s), so the timer restarts after it; the printed img/s then
+        # matches tools/bench_infer.py's warmed-up methodology.
         t0 = time.time()
+        n_at_t0 = 0
+        n_batches = 0
         for batch in self.loader.epoch(0):
             portrait = bool(batch.pop("portrait", False))
             out_hw = (d.pad_w, d.pad_h) if portrait else (d.pad_h, d.pad_w)
@@ -244,9 +249,14 @@ class Evaluator:
                                                    dets["boxes"][i][v])]
                 records.append(rec)
                 n_done += 1
+            n_batches += 1
+            if n_batches == 1:  # discard compile time from the throughput
+                t0 = time.time()
+                n_at_t0 = n_done
             if max_images is not None and n_done >= max_images:
                 break
         dt = time.time() - t0
+        n_timed = n_done - n_at_t0  # 0 if the whole eval fit in one batch
 
         # Distributed eval merge: every process contributes its shard's
         # detections; wrap-fill can duplicate an image across processes, so
@@ -264,7 +274,7 @@ class Evaluator:
                 segm_eval.add(rec["image_id"], rec["boxes"], rec["scores"],
                               rec["labels"], masks=rec["rles"])
         results = evaluator.evaluate()
-        results["images_per_sec"] = n_done / max(dt, 1e-9)
+        results["images_per_sec"] = n_timed / max(dt, 1e-9)
         results["num_images"] = n_global
         if segm_eval is not None:
             results["segm"] = segm_eval.evaluate()
@@ -273,6 +283,7 @@ class Evaluator:
             if segm_eval is not None:
                 print("segm:")
                 print(format_table(results["segm"], "segm"))
-            print(f"inference: {n_done} imgs in {dt:.1f}s "
-                  f"({results['images_per_sec']:.2f} img/s)")
+            print(f"inference: {n_done} imgs total, {n_timed} post-warmup in "
+                  f"{dt:.1f}s ({results['images_per_sec']:.2f} img/s "
+                  f"steady-state)")
         return results

@@ -84,12 +84,15 @@ def main():
     # XLA dead-code-eliminate the entire backward pass (verified: HLO shrinks
     # ~4x), silently turning this into a fwd-only timing. Reduce the grad
     # pytree to one scalar inside jit (same trick as exp_dcn_bwd.py) so the
-    # backward runs but no big pytree crosses the relay.
+    # backward runs but no big pytree crosses the relay. The grad sum is
+    # added UN-zeroed (the exact value is irrelevant for timing): a `* 0.0`
+    # would survive only as long as the simplifier declines to fold float
+    # x*0, which is not a guarantee worth betting a timing harness on.
     def grad_scalar(gradfn):
         def f(*a):
             val, gs = gradfn(*a)
             return val + sum(jnp.sum(jnp.abs(g).astype(jnp.float32))
-                             for g in jax.tree.leaves(gs)) * 0.0
+                             for g in jax.tree.leaves(gs))
         return jax.jit(f)
 
     timed("fwd+bwd full loss",
