@@ -213,6 +213,10 @@ class TestCfg:
     vote_thr: float = 0.8
     flip_tta: bool = False
     scales_tta: Tuple[int, ...] = _tup()
+    # exact (anchor,class) pair top-k in dense-head candidate selection
+    # (parity evals); default False = two-stage near-exact selection, 69x
+    # faster on TPU (full-sort lax.top_k pathology over A*C pairs)
+    exact_topk: bool = False
 
 
 @dataclass(frozen=True)
