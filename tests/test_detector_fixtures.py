@@ -31,6 +31,7 @@ CONFIGS = [
     "mask_rcnn_r50_fpn_1x",
     "cascade_rcnn_r101_dcn_1x",
     "multihost_dp_faster_rcnn_v5p16",
+    "rfcn_r50_1x",
 ]
 
 

@@ -37,6 +37,7 @@ CONFIGS = [
     "mask_rcnn_r50_fpn_1x",
     "cascade_rcnn_r101_dcn_1x",
     "multihost_dp_faster_rcnn_v5p16",
+    "rfcn_r50_1x",
 ]
 
 
@@ -56,6 +57,9 @@ def shrink(cfg):
         # CI shrink: R50 depth; keeps the cascade + DCN train paths
         cfg = cfg.override(**{"backbone.depth": 50,
                               "backbone.dcn_stages": (False, False, False, True)})
+    if cfg.name.startswith("rfcn"):
+        # keep OHEM selective at the shrunk sample count (keep < samples)
+        cfg = cfg.override(**{"bbox_head.ohem_keep": 16})
     return cfg
 
 
