@@ -148,9 +148,12 @@ class CascadeCfg:
 
 @dataclass(frozen=True)
 class DataCfg:
+    dataset: str = "coco"                 # "coco" | "voc" (annotation layout + eval protocol)
     root: str = "data/coco"
     train_split: str = "train2017"
     val_split: str = "val2017"
+    voc_year: str = "2007"                # VOCdevkit/VOC{year} subtree
+    voc_metric_07: bool = False           # 11-point AP (VOC2007 protocol)
     # static-shape contract: short side resized to scale, long side capped,
     # then padded to (max_h, max_w) (multiples of 128 for TPU layout health)
     scale: int = 800

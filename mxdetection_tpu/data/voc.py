@@ -168,3 +168,50 @@ def evaluate_voc(detections: list, dataset: VocDataset, iou_thr: float = 0.5,
     mean_ap = float(np.mean(list(aps.values()))) if aps else 0.0
     return {"mAP": mean_ap, "per_class": {dataset.category_names[c]: v
                                           for c, v in aps.items()}}
+
+
+def make_synthetic_voc(root: str, num_images: int = 16, size_range=(240, 400),
+                       num_classes: int = 3, max_objects: int = 4,
+                       seed: int = 0, split: str = "trainval",
+                       year: str = "2007") -> str:
+    """Generate a tiny valid VOCdevkit tree (JPEGs + XMLs + ImageSets) for
+    tests and smoke training — the VOC analog of ``make_synthetic_coco``.
+    Objects are bright rectangles on dark noise so a detector can overfit."""
+    from PIL import Image, ImageDraw
+
+    rng = np.random.RandomState(seed)
+    base = os.path.join(root, f"VOC{year}")
+    for d in ("JPEGImages", "Annotations", os.path.join("ImageSets", "Main")):
+        os.makedirs(os.path.join(base, d), exist_ok=True)
+    ids = []
+    for i in range(num_images):
+        iid = f"{i:06d}"
+        ids.append(iid)
+        h = int(rng.randint(*size_range))
+        w = int(rng.randint(*size_range))
+        img = Image.fromarray((rng.rand(h, w, 3) * 40).astype(np.uint8))
+        draw = ImageDraw.Draw(img)
+        objs = ""
+        for _ in range(int(rng.randint(1, max_objects + 1))):
+            bw = rng.randint(int(0.2 * w), int(0.45 * w))
+            bh = rng.randint(int(0.2 * h), int(0.45 * h))
+            x = int(rng.randint(0, w - bw))
+            y = int(rng.randint(0, h - bh))
+            cls = int(rng.randint(num_classes))
+            color = tuple(int(c) for c in
+                          (60 + 39 * cls, 255 - 39 * cls, 128 + 25 * cls))
+            draw.rectangle([x, y, x + bw, y + bh], fill=color)
+            objs += (f"\n  <object><name>{VOC_CLASSES[cls]}</name>"
+                     f"<difficult>0</difficult>"
+                     f"<bndbox><xmin>{x + 1}</xmin><ymin>{y + 1}</ymin>"
+                     f"<xmax>{x + bw + 1}</xmax><ymax>{y + bh + 1}</ymax>"
+                     f"</bndbox></object>")
+        img.save(os.path.join(base, "JPEGImages", iid + ".jpg"))
+        xml = (f"<annotation><size><width>{w}</width><height>{h}</height>"
+               f"</size>{objs}\n</annotation>")
+        with open(os.path.join(base, "Annotations", iid + ".xml"), "w") as f:
+            f.write(xml)
+    with open(os.path.join(base, "ImageSets", "Main", split + ".txt"),
+              "w") as f:
+        f.write("\n".join(ids))
+    return root

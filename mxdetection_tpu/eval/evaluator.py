@@ -65,10 +65,13 @@ def paste_mask(mask28: np.ndarray, box: np.ndarray, im_h: int, im_w: int,
 
 
 class Evaluator:
-    """Runs a detector bundle over a dataset and computes COCO metrics."""
+    """Runs a detector bundle over a dataset and computes COCO metrics
+    (or VOC mAP when ``protocol="voc"`` — the family's PascalVOC path)."""
 
     def __init__(self, cfg: Config, bundle, variables, dataset: CocoDataset,
-                 batch_size: int = 8, raw_hw=(640, 640), with_masks: bool = False):
+                 batch_size: int = 8, raw_hw=(640, 640), with_masks: bool = False,
+                 protocol: str = "coco"):
+        self.protocol = protocol
         self.cfg = cfg
         self.bundle = bundle
         self.variables = variables
@@ -187,11 +190,14 @@ class Evaluator:
         from .rle import encode_rle
         from ..parallel.dist import all_gather_objects
 
-        evaluator = CocoEvaluator(build_gt_list(self.ds), self.ds.num_classes, "bbox")
-        segm_eval = None
-        if self.with_masks:
-            segm_eval = CocoEvaluator(
-                build_gt_list(self.ds, with_masks=True), self.ds.num_classes, "segm")
+        evaluator = segm_eval = None
+        if self.protocol == "coco":
+            evaluator = CocoEvaluator(build_gt_list(self.ds),
+                                      self.ds.num_classes, "bbox")
+            if self.with_masks:
+                segm_eval = CocoEvaluator(
+                    build_gt_list(self.ds, with_masks=True),
+                    self.ds.num_classes, "segm")
         size_by_id = {r.image_id: (r.height, r.width) for r in self.ds.records}
 
         n_done = 0
@@ -263,23 +269,40 @@ class Evaluator:
         # dedup by image_id (first occurrence wins — dets are identical).
         merged_seen: set = set()
         n_global = 0
+        merged_records: list = []
         for rec in (r for part in all_gather_objects(records) for r in part):
             if rec["image_id"] in merged_seen:
                 continue
             merged_seen.add(rec["image_id"])
             n_global += 1
+            if self.protocol == "voc":
+                merged_records.append(rec)
+                continue
             evaluator.add(rec["image_id"], rec["boxes"], rec["scores"],
                           rec["labels"])
             if segm_eval is not None:
                 segm_eval.add(rec["image_id"], rec["boxes"], rec["scores"],
                               rec["labels"], masks=rec["rles"])
-        results = evaluator.evaluate()
+        if self.protocol == "voc":
+            from ..data.voc import evaluate_voc
+
+            results = evaluate_voc(
+                merged_records, self.ds,
+                use_07_metric=self.cfg.data.voc_metric_07)
+            # common keys so callers/tools can report uniformly
+            results["AP50"] = results["mAP"]
+        else:
+            results = evaluator.evaluate()
         results["images_per_sec"] = n_timed / max(dt, 1e-9)
         results["num_images"] = n_global
         if segm_eval is not None:
             results["segm"] = segm_eval.evaluate()
         if verbose:
-            print(format_table(results))
+            if self.protocol == "voc":
+                print(f"VOC mAP@0.5 = {results['mAP']:.4f} "
+                      f"({'11-point' if self.cfg.data.voc_metric_07 else 'area'})")
+            else:
+                print(format_table(results))
             if segm_eval is not None:
                 print("segm:")
                 print(format_table(results["segm"], "segm"))

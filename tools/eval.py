@@ -34,19 +34,29 @@ def main():
     import jax.numpy as jnp
 
     from mxdetection_tpu.config import load_config
-    from mxdetection_tpu.data import CocoDataset, make_synthetic_coco
+    from mxdetection_tpu.data import (CocoDataset, VocDataset,
+                                      make_synthetic_coco, make_synthetic_voc)
     from mxdetection_tpu.eval import Evaluator
     from mxdetection_tpu.models.registry import build_detector
 
     cfg = load_config(args.config, parse_overrides(args.override))
     with_masks = cfg.mask_head is not None
+    n_cls = (cfg.bbox_head.num_classes if cfg.detector != "retinanet"
+             else cfg.retina_head.num_classes)
 
-    if args.synthetic:
+    if cfg.data.dataset == "voc":
+        if args.synthetic:
+            root = make_synthetic_voc(
+                "/tmp/mxdet_synth_eval_voc", num_images=args.synthetic,
+                num_classes=min(n_cls, 20), split=cfg.data.val_split,
+                year=cfg.data.voc_year)
+        else:
+            root = cfg.data.root
+        ds = VocDataset(root, split=cfg.data.val_split, year=cfg.data.voc_year)
+    elif args.synthetic:
         root = "/tmp/mxdet_synth_eval"
         ann, img_dir = make_synthetic_coco(
-            root, num_images=args.synthetic, split="val",
-            num_classes=cfg.bbox_head.num_classes if cfg.detector != "retinanet"
-            else cfg.retina_head.num_classes)
+            root, num_images=args.synthetic, split="val", num_classes=n_cls)
         ds = CocoDataset(ann, img_dir, with_masks=with_masks)
     else:
         ds = CocoDataset(
@@ -77,7 +87,8 @@ def main():
                      "batch_stats": jax.device_get(state.batch_stats)}
 
     ev = Evaluator(cfg, bundle, variables, ds, batch_size=args.batch_size,
-                   with_masks=with_masks)
+                   with_masks=with_masks,
+                   protocol="voc" if cfg.data.dataset == "voc" else "coco")
     ev.run(verbose=True)
 
 

@@ -50,7 +50,8 @@ def main():
     import jax.numpy as jnp
 
     from mxdetection_tpu.config import load_config
-    from mxdetection_tpu.data import CocoDataset, DetectionLoader, make_synthetic_coco
+    from mxdetection_tpu.data import (CocoDataset, DetectionLoader, VocDataset,
+                                      make_synthetic_coco, make_synthetic_voc)
     from mxdetection_tpu.models.registry import build_detector
     from mxdetection_tpu.parallel import make_mesh
     from mxdetection_tpu.train import CheckpointManager, Trainer
@@ -62,11 +63,23 @@ def main():
     logger.info("config: %s devices: %s", cfg.name, jax.devices())
 
     with_masks = cfg.mask_head is not None
-    if args.synthetic:
+    n_cls = (cfg.bbox_head.num_classes if cfg.detector != "retinanet"
+             else cfg.retina_head.num_classes)
+    if cfg.data.dataset == "voc":
+        # VOCdevkit annotation layout (family PascalVOC path)
+        if args.synthetic:
+            root = make_synthetic_voc(
+                os.path.join(workdir, "synthetic_voc"),
+                num_images=args.synthetic, num_classes=min(n_cls, 20),
+                split=cfg.data.train_split, year=cfg.data.voc_year)
+        else:
+            root = cfg.data.root
+        ds = VocDataset(root, split=cfg.data.train_split,
+                        year=cfg.data.voc_year)
+    elif args.synthetic:
         ann, img_dir = make_synthetic_coco(
             os.path.join(workdir, "synthetic"), num_images=args.synthetic,
-            num_classes=cfg.bbox_head.num_classes if cfg.detector != "retinanet"
-            else cfg.retina_head.num_classes)
+            num_classes=n_cls)
         ds = CocoDataset(ann, img_dir, with_masks=with_masks)
     else:
         ds = CocoDataset(
