@@ -166,9 +166,9 @@ def _dcn_impl() -> str:
     # measured on v5e (52x84x1024 layer, batch 8): gather 104 ms, XLA
     # shift-select 120 ms (HBM re-read per displacement term), Pallas
     # VMEM-windowed shift-select 78 ms (VMEM FMA traffic of the dense
-    # displacement terms is its floor). Training stride-1 layers use the
-    # Pallas custom_vjp path (round 4); stride-2 training still falls back
-    # to gather+remat.
+    # displacement terms is its floor). Training layers (stride 1 AND 2)
+    # use the Pallas custom_vjp paths (round 4); only unaligned channels
+    # fall back to gather+remat.
     return "pallas" if jax.default_backend() == "tpu" else "gather"
 
 
@@ -211,21 +211,24 @@ def deform_conv2d_batched(x, offsets, weight, bias=None, *, stride=1, dilation=1
             return out.astype(xi.dtype)
         return jax.vmap(one)(x, offsets)
 
-    # Training path, stride 1: Pallas forward + Pallas/MXU backward
-    # (custom_vjp, ops/pallas/dcn.py "training" section) — no gather, no
+    # Training path, stride 1 AND 2: Pallas forward + Pallas/MXU backward
+    # (custom_vjp, ops/pallas/dcn.py "training" sections) — no gather, no
     # scatter, residuals are just (x, offsets, weight). Clamped-offset
     # semantics like the inference kernels (documented deviation).
-    if (not inference and impl == "pallas" and stride == 1 and dilation == 1
-            and cin % 128 == 0 and cout % 128 == 0):
-        from .pallas.dcn import make_trainable_deform_conv
+    if (not inference and impl == "pallas" and stride in (1, 2)
+            and dilation == 1 and cin % 128 == 0 and cout % 128 == 0):
+        from .pallas.dcn import (make_trainable_deform_conv,
+                                 make_trainable_deform_conv_s2)
 
-        f = make_trainable_deform_conv(kernel=k, dilation=dilation)
+        make = (make_trainable_deform_conv if stride == 1
+                else make_trainable_deform_conv_s2)
+        f = make(kernel=k, dilation=dilation)
         out = f(x, offsets, weight)
         if bias is not None:
             out = out + bias
         return out.astype(x.dtype)
 
-    # Gather fallback (CPU, stride 2, or unaligned channels). The im2col
+    # Gather fallback (CPU or unaligned channels). The im2col
     # patch tensor is k*k = 9x the activation size per DCN layer; saving it
     # (and its f32 bilinear accumulator) for the backward pass OOMs HBM on
     # deep DCN stacks (R101-DCN batch 8: 64G for 15.75G of HBM).

@@ -381,6 +381,66 @@ def _dx_kernel(op_hbm, dp_hbm, out_ref, op_win, dp_win, sem1, sem2, *,
                 out_ref.dtype)
 
 
+def _dx_from_dpatch(dp5, oy, ox, h, w, c, *, k, d, radius, x_dtype,
+                    interpret):
+    """dx via ``_dx_kernel`` from cotangent patches on a stride-1 SOURCE grid.
+
+    dp5: (B, R, S, k*k, c) — dpatch laid out so source index I relates to
+    input row r by the stride-1 identity r = I + ty*d + dy - pad (column
+    identity likewise); for stride 1 the source grid IS the output grid.
+    oy/ox: (B, Ro, So, k*k) offsets on the same grid. (Stride 2 has its own
+    parity-split kernel, ``_dx_kernel_s2`` — running THIS kernel on
+    2x-dilated dpatch is exact but does 4x the work and 4x the temporaries.)
+    Returns dx (B, h, w, c) in f32 (caller casts)."""
+    bsz, rr, ss = dp5.shape[:3]
+    ro, so = oy.shape[1], oy.shape[2]
+    wq = -(-w // 8) * 8
+    nbi = -(-h // BR)
+    core = max(rr, ro, nbi * BR)
+    pad = d * (k - 1) // 2
+    pad_top = d + radius + 1
+    pad_bot = d + radius
+    rows_dp = pad_top + core + pad_bot
+    al8 = lambda v: -(-v // 8) * 8  # noqa: E731
+    lpad = al8(radius + 1 + d)
+    rpad = al8(radius + d)
+    wqb = lpad + max(ss, so, wq) + rpad
+    win_b2 = BR + 2 * (d + radius) + 1
+
+    dp_t = dp5.astype(x_dtype).transpose(0, 3, 1, 2, 4)   # (B, kk, R, S, c)
+    dp_t = jnp.pad(dp_t, ((0, 0), (0, 0),
+                          (pad_top, rows_dp - pad_top - rr),
+                          (lpad, wqb - lpad - ss), (0, 0)))
+    # lane dim 128: HBM windows are DMA-sliced, and Mosaic requires slice
+    # shapes aligned to the (8, 128) tiling (taps live in lanes 0:9 / 16:25)
+    planes = jnp.zeros((bsz, rows_dp, wqb, 128), jnp.float32)
+    planes = planes.at[:, pad_top:pad_top + ro, lpad:lpad + so,
+                       0:k * k].set(oy)
+    planes = planes.at[:, pad_top:pad_top + ro, lpad:lpad + so,
+                       16:16 + k * k].set(ox)
+
+    dxp = pl.pallas_call(
+        functools.partial(_dx_kernel, k=k, dil=d, pad=pad, radius=radius,
+                          lpad=lpad, wq=wq),
+        grid=(bsz, nbi),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((1, BR, wq, c), lambda ib, b: (ib, b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, nbi * BR, wq, c), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((win_b2, wqb, 128), jnp.float32),
+            pltpu.VMEM((win_b2, wqb, c), x_dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(planes, dp_t)
+    return dxp[:, :h, :w, :]
+
+
 @functools.partial(jax.jit, static_argnames=("kernel", "dilation", "radius",
                                              "interpret"))
 def deform_conv2d_bwd_pallas_batched(
@@ -442,69 +502,39 @@ def deform_conv2d_bwd_pallas_batched(
         interpret=interpret,
     )(oyt, oxt, xp)
 
-    # ---- MXU contractions (padded rows/cols of g are zero => contribute 0)
+    # ---- MXU contractions (padded rows/cols of g are zero => contribute 0).
+    # Flat 2-D dot_generals: einsums with (b,h,w[,k]) batch/contract dims made
+    # XLA materialize f32 layout-copies of the 0.3G operands (0.6-0.8G HLO
+    # temps per stage-2 layer); contiguous reshapes are bitcasts, and a plain
+    # (N, K) x (N, M) contraction needs no operand relayout. Output dtype
+    # x.dtype keeps MXU f32 accumulation without an f32 dpatch buffer.
     g_pad = jnp.pad(g.astype(x.dtype),
                     ((0, 0), (0, npr - h), (0, wq - w), (0, 0)))
-    dw = jnp.einsum("bhwk,bhwo->ko", patches, g_pad,
-                    preferred_element_type=jnp.float32)
+    n = bsz * npr * wq
+    p2 = patches.reshape(n, k * k * c)
+    g2 = g_pad.reshape(n, cout)
+    dw = jax.lax.dot_general(p2, g2, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
     wmat = weight.reshape(k * k * c, cout).astype(x.dtype)
-    dpatch = jnp.einsum("bhwo,ko->bhwk", g_pad, wmat,
-                        preferred_element_type=jnp.float32).astype(x.dtype)
+    dpatch = jax.lax.dot_general(g2, wmat, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=x.dtype)  # (n, kkc)
 
     # ---- doffsets: per-tap channel reduction + clip gradient mask
-    dp5 = dpatch.reshape(bsz, npr, wq, k * k, c).astype(jnp.float32)
-    dsy5 = dsy.reshape(bsz, npr, wq, k * k, c).astype(jnp.float32)
-    dsx5 = dsx.reshape(bsz, npr, wq, k * k, c).astype(jnp.float32)
-    doy = jnp.sum(dp5 * dsy5, axis=-1)[:, :h, :w, :]
-    dox = jnp.sum(dp5 * dsx5, axis=-1)[:, :h, :w, :]
+    # (bf16 product fused into an f32-accumulating reduce — no f32 copies)
+    dp5 = dpatch.reshape(bsz, npr, wq, k * k, c)
+    dsy5 = dsy.reshape(bsz, npr, wq, k * k, c)
+    dsx5 = dsx.reshape(bsz, npr, wq, k * k, c)
+    doy = jnp.sum(dp5 * dsy5, axis=-1, dtype=jnp.float32)[:, :h, :w, :]
+    dox = jnp.sum(dp5 * dsx5, axis=-1, dtype=jnp.float32)[:, :h, :w, :]
     inb = (off >= -radius) & (off <= radius)
     doff = jnp.stack([doy, dox], axis=-1) * inb.astype(jnp.float32)
     doff = doff.reshape(bsz, h, w, 2 * k * k).astype(offsets.dtype)
 
     # ---- dx: transposed shift-select over dpatch
-    nbi = -(-h // BR)
-    core = max(npr, nbi * BR)
-    pad_top = d + radius + 1
-    pad_bot = d + radius
-    rows_dp = pad_top + core + pad_bot
-    al8 = lambda v: -(-v // 8) * 8  # noqa: E731
-    lpad = al8(radius + 1 + d)
-    rpad = al8(radius + d)
-    wqb = lpad + wq + rpad
-    win_b2 = BR + 2 * (d + radius) + 1
-
-    dp_t = dpatch.reshape(bsz, npr, wq, k * k, c).transpose(0, 3, 1, 2, 4)
-    dp_t = jnp.pad(dp_t, ((0, 0), (0, 0),
-                          (pad_top, rows_dp - pad_top - npr),
-                          (lpad, wqb - lpad - wq), (0, 0)))
-    # lane dim 128: HBM windows are DMA-sliced, and Mosaic requires slice
-    # shapes aligned to the (8, 128) tiling (taps live in lanes 0:9 / 16:25)
-    planes = jnp.zeros((bsz, rows_dp, wqb, 128), jnp.float32)
-    planes = planes.at[:, pad_top:pad_top + h, lpad:lpad + w, 0:k * k].set(
-        off[..., 0])
-    planes = planes.at[:, pad_top:pad_top + h, lpad:lpad + w,
-                       16:16 + k * k].set(off[..., 1])
-
-    dxp = pl.pallas_call(
-        functools.partial(_dx_kernel, k=k, dil=d, pad=pad, radius=radius,
-                          lpad=lpad, wq=wq),
-        grid=(bsz, nbi),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
-        out_specs=pl.BlockSpec((1, BR, wq, c), lambda ib, b: (ib, b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, nbi * BR, wq, c), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((win_b2, wqb, 128), jnp.float32),
-            pltpu.VMEM((win_b2, wqb, c), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        interpret=interpret,
-    )(planes, dp_t)
-    dx = dxp[:, :h, :w, :].astype(x.dtype)
+    dx = _dx_from_dpatch(
+        dpatch.reshape(bsz, npr, wq, k * k, c), off[..., 0], off[..., 1],
+        h, w, c, k=k, d=d, radius=radius, x_dtype=x.dtype,
+        interpret=interpret).astype(x.dtype)
 
     return dx, doff, dw.reshape(k, k, c, cout).astype(weight.dtype)
 
@@ -683,3 +713,338 @@ def deform_conv2d_s2_pallas_batched(
         interpret=interpret,
     )(oyt, oxt, xq, wmat)
     return out[:, :ho, :wo, :]
+
+
+# ---------------------------------------------------------------------------
+# training (stride 2): the same backward decomposition as stride 1.
+#
+# patches/dsy/dsx come from ``_patches_kernel_s2`` (the 3-accumulator variant
+# of ``_kernel_s2``: parity-split window, row_base = 2i). dW/dpatch/doffsets
+# are the identical MXU contractions. dx reuses ``_dx_kernel`` UNCHANGED via
+# 2x dilation: the s2 forward reads input row r = 2i + ty*dil + dy - pad,
+# which is the stride-1 identity at source index I = 2i — so dpatch and the
+# offset planes are zero-interleaved (lax.pad interior=1) onto the input-
+# resolution grid, where the zero positions contribute zero masked-FMA terms.
+# This closes the last gather+remat fallback in DCN training (the 3 stride-2
+# first-block layers; VERDICT r3 "remaining lever").
+
+PBR2 = 2     # output rows per grid step (3 9C-wide blocks + parity window)
+WIN_P2 = 16  # window input rows: PBR2*2 + (k-1)*dil + 2R + 2 + 1 <= 16
+
+
+def _dx_kernel_s2(op_hbm, dp_hbm, out0_ref, out1_ref, op_win, dp_win, acc0_s,
+                  acc1_s, sem1, sem2, *, k: int, dil: int, pad: int,
+                  radius: int, p0: int, l0: int, wq_h: int, win_rows: int):
+    """Stride-2 dx via the parity-split transpose: input (r, s) receives from
+    output (i, j) = ((r + pad - ty*dil - dy)/2, (s + pad - tx*dil - dx)/2),
+    defined only when both numerators are even. Splitting output columns by
+    s-parity (out0 = even s, out1 = odd s) turns each (tap, dx) term into a
+    STATIC lane-shift of output-resolution dpatch (no dilation, no gather):
+    phase ph receives (tx, dxv) iff e = pad - tx*dil - dxv has parity ph, at
+    source column j = j' + (e + ph)/2. Row parity makes the dy walk step by 2
+    over the class (dyi parity == (i + pad + ty*dil + radius) & 1) — half the
+    dy iterations of the stride-1 transpose at half the width, ~4x less work
+    than running the stride-1 kernel on 2x-dilated dpatch."""
+    ib = pl.program_id(0)
+    b = pl.program_id(1)
+    hb2 = BR // 2
+    base2 = pl.multiple_of(b * hb2, 4)
+
+    cp = pltpu.make_async_copy(op_hbm.at[ib, pl.ds(base2, win_rows)], op_win,
+                               sem1)
+    cp.start()
+    cp.wait()
+
+    oy_all = jnp.clip(op_win[:, :, 0:k * k], -radius, radius)
+    blk_lo = jnp.floor(jnp.min(oy_all)).astype(jnp.int32) + radius
+    blk_hi = jnp.floor(jnp.max(oy_all)).astype(jnp.int32) + radius
+
+    # accumulate across taps in f32 VMEM scratch; HBM outputs stay x.dtype
+    acc0_s[...] = jnp.zeros_like(acc0_s)
+    acc1_s[...] = jnp.zeros_like(acc1_s)
+
+    r2 = 2 * radius + 2
+    taps = [(ty, tx) for ty in range(k) for tx in range(k)]
+    for t, (ty, tx) in enumerate(taps):
+        cp2 = pltpu.make_async_copy(dp_hbm.at[ib, t, pl.ds(base2, win_rows)],
+                                    dp_win, sem2)
+        cp2.start()
+        cp2.wait()
+        for i in range(BR):
+            # dyi parity class for even source-row numerator (static per i,ty)
+            par = (i + pad + ty * dil + radius) & 1
+            start_p = blk_lo + jnp.bitwise_and(par - blk_lo, 1)
+            cnt = jnp.maximum(0, (blk_hi + 2 - start_p + 1) // 2)
+
+            def dy_body(dyj, accs):
+                acc0, acc1 = accs
+                dyi = start_p + 2 * dyj
+                dyv = dyi - radius
+                # source row window index: (i + pad - ty*dil - dyv)/2 + p0
+                iw = (i + pad - ty * dil + radius - dyi) // 2 + p0
+                oy = jnp.clip(op_win[iw, :, t:t + 1], -radius, radius)
+                ox = jnp.clip(op_win[iw, :, 16 + t:17 + t], -radius, radius)
+                ylo = jnp.floor(oy)
+                fy = oy - ylo
+                xlo = jnp.floor(ox)
+                fx = ox - xlo
+                wy = (jnp.where(ylo == dyv, 1.0 - fy, 0.0)
+                      + jnp.where(ylo + 1 == dyv, fy, 0.0))
+                dprow = dp_win[iw, :, :]
+                for dxi in range(r2):
+                    dxv = dxi - radius
+                    e = pad - tx * dil - dxv
+                    ph = e & 1          # receiving column phase (static)
+                    sh = l0 + (e + ph) // 2
+                    wx = (jnp.where(xlo == dxv, 1.0 - fx, 0.0)
+                          + jnp.where(xlo + 1 == dxv, fx, 0.0))  # (W, 1)
+                    m = (wy * wx)[sh:sh + wq_h]
+                    sl = dprow[sh:sh + wq_h, :]
+                    if ph == 0:
+                        acc0 = acc0 + m * sl.astype(jnp.float32)
+                    else:
+                        acc1 = acc1 + m * sl.astype(jnp.float32)
+                return acc0, acc1
+
+            z = jnp.zeros((wq_h, dp_win.shape[2]), jnp.float32)
+            acc0, acc1 = jax.lax.fori_loop(0, cnt, dy_body, (z, z))
+            acc0_s[i, :, :] = acc0_s[i, :, :] + acc0
+            acc1_s[i, :, :] = acc1_s[i, :, :] + acc1
+
+    out0_ref[0, :, :, :] = acc0_s[...].astype(out0_ref.dtype)
+    out1_ref[0, :, :, :] = acc1_s[...].astype(out1_ref.dtype)
+
+
+def _patches_kernel_s2(oy_ref, ox_ref, x_hbm, p_ref, dsy_ref, dsx_ref, win,
+                       sem, *, k: int, dil: int, radius: int, c: int):
+    ib = pl.program_id(0)
+    b = pl.program_id(1)
+    base = pl.multiple_of(b * PBR2 * 2, 4)
+
+    dma = pltpu.make_async_copy(x_hbm.at[ib, pl.ds(base, WIN_P2)], win, sem)
+    dma.start()
+    dma.wait()
+
+    r2 = 2 * radius + 2
+    taps = [(ty, tx) for ty in range(k) for tx in range(k)]
+
+    oy_blk = jnp.clip(oy_ref[0, :, :], -radius, radius)
+    blk_lo = jnp.floor(jnp.min(oy_blk)).astype(jnp.int32) + radius
+    blk_hi = jnp.floor(jnp.max(oy_blk)).astype(jnp.int32) + radius
+
+    out_w = p_ref.shape[2]
+    for i in range(PBR2):
+        for t, (ty, tx) in enumerate(taps):
+            col = i * (k * k) + t
+            oy = jnp.clip(oy_ref[0, :, col:col + 1], -radius, radius)
+            ox = jnp.clip(ox_ref[0, :, col:col + 1], -radius, radius)
+            ylo = jnp.floor(oy)
+            fy = oy - ylo
+            xlo = jnp.floor(ox)
+            fx = ox - xlo
+
+            row_base = 2 * i + ty * dil + 1  # + (margin - pad - radius) == +1
+
+            wxs = [
+                (jnp.where(xlo == dxi - radius, 1.0 - fx, 0.0)
+                 + jnp.where(xlo + 1 == dxi - radius, fx, 0.0))
+                for dxi in range(r2)
+            ]
+            dwxs = [
+                (jnp.where(xlo == dxi - radius, -1.0, 0.0)
+                 + jnp.where(xlo + 1 == dxi - radius, 1.0, 0.0))
+                for dxi in range(r2)
+            ]
+
+            def dy_body(dyi, accs):
+                ap, ay, ax = accs
+                dy = dyi - radius
+                wy = (jnp.where(ylo == dy, 1.0 - fy, 0.0)
+                      + jnp.where(ylo + 1 == dy, fy, 0.0))
+                dwy = (jnp.where(ylo == dy, -1.0, 0.0)
+                       + jnp.where(ylo + 1 == dy, 1.0, 0.0))
+                data_row = win[row_base + dyi, :, :]  # (WQ2, 2C)
+                for dxi in range(r2):
+                    colp = tx * dil + 1 + dxi   # padded col = 2j + colp
+                    q0, ph = colp // 2, colp % 2
+                    sl = data_row[q0:q0 + out_w, ph * c:(ph + 1) * c]
+                    mp = (wy * wxs[dxi]).astype(sl.dtype)
+                    my = (dwy * wxs[dxi]).astype(sl.dtype)
+                    mx = (wy * dwxs[dxi]).astype(sl.dtype)
+                    ap = ap + mp * sl
+                    ay = ay + my * sl
+                    ax = ax + mx * sl
+                return ap, ay, ax
+
+            z = jnp.zeros((out_w, c), win.dtype)
+            ap, ay, ax = jax.lax.fori_loop(blk_lo, blk_hi + 2, dy_body,
+                                           (z, z, z))
+            p_ref[0, i, :, t * c:(t + 1) * c] = ap.astype(p_ref.dtype)
+            dsy_ref[0, i, :, t * c:(t + 1) * c] = ay.astype(dsy_ref.dtype)
+            dsx_ref[0, i, :, t * c:(t + 1) * c] = ax.astype(dsx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "dilation", "radius",
+                                             "interpret"))
+def deform_conv2d_s2_bwd_pallas_batched(
+    x: Array,          # (B, H, W, Cin)
+    offsets: Array,    # (B, Ho, Wo, 2*k*k) at OUTPUT resolution
+    weight: Array,     # (k, k, Cin, Cout)
+    g: Array,          # (B, Ho, Wo, Cout) cotangent
+    *,
+    kernel: int = 3,
+    dilation: int = 1,
+    radius: int = 3,
+    interpret: bool = False,
+):
+    """Gradients (dx, doffsets, dweight) of the clamped stride-2 deformable
+    conv — no gather, no scatter (see the stride-2 training section note)."""
+    bsz, h, w, c = x.shape
+    k = kernel
+    d = dilation
+    cout = weight.shape[-1]
+    assert c % 128 == 0 and cout % 128 == 0, "channels must be lane-aligned"
+    pad = d * (k - 1) // 2
+    margin = pad + radius + 1
+    ho, wo = -(-h // 2), -(-w // 2)
+    assert offsets.shape[1] == ho and offsets.shape[2] == wo
+    assert PBR2 * 2 + (k - 1) * d + 2 * radius + 2 + 1 <= WIN_P2
+
+    # ---- patches + derivative samples (parity-split window, like _kernel_s2)
+    nb2 = -(-ho // PBR2)
+    hp = nb2 * PBR2 * 2 + WIN_P2
+    wp_total = -(-(w + 2 * margin + 16) // 16) * 16
+    xp = jnp.zeros((bsz, hp, wp_total, c), x.dtype)
+    xp = jax.lax.dynamic_update_slice(xp, x, (0, margin, margin, 0))
+    wq2 = wp_total // 2
+    xq = jnp.concatenate([xp[:, :, 0::2, :], xp[:, :, 1::2, :]], axis=-1)
+
+    wq_o = -(-wo // 8) * 8
+    off = offsets.reshape(bsz, ho, wo, k * k, 2).astype(jnp.float32)
+    oyt = jax.vmap(lambda o: _pack_offsets(o, wq_o, nb2, PBR2, k * k))(
+        off[..., 0])
+    oxt = jax.vmap(lambda o: _pack_offsets(o, wq_o, nb2, PBR2, k * k))(
+        off[..., 1])
+
+    npr_o = nb2 * PBR2
+    patches, dsy, dsx = pl.pallas_call(
+        functools.partial(_patches_kernel_s2, k=k, dil=d, radius=radius, c=c),
+        grid=(bsz, nb2),
+        in_specs=[
+            pl.BlockSpec((1, wq_o, 128), lambda ib, b: (ib, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wq_o, 128), lambda ib, b: (ib, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, PBR2, wq_o, k * k * c), lambda ib, b: (ib, b, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 3,
+        out_shape=[jax.ShapeDtypeStruct((bsz, npr_o, wq_o, k * k * c),
+                                        x.dtype)] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((WIN_P2, wq2, 2 * c), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(oyt, oxt, xq)
+
+    # ---- MXU contractions as flat 2-D dot_generals (see the stride-1 note)
+    g_pad = jnp.pad(g.astype(x.dtype),
+                    ((0, 0), (0, npr_o - ho), (0, wq_o - wo), (0, 0)))
+    n = bsz * npr_o * wq_o
+    p2 = patches.reshape(n, k * k * c)
+    g2 = g_pad.reshape(n, cout)
+    dw = jax.lax.dot_general(p2, g2, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    wmat = weight.reshape(k * k * c, cout).astype(x.dtype)
+    dpatch = jax.lax.dot_general(g2, wmat, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=x.dtype)  # (n, kkc)
+
+    # ---- doffsets: per-tap channel reduction + clip gradient mask
+    dp5 = dpatch.reshape(bsz, npr_o, wq_o, k * k, c)
+    dsy5 = dsy.reshape(bsz, npr_o, wq_o, k * k, c)
+    dsx5 = dsx.reshape(bsz, npr_o, wq_o, k * k, c)
+    doy = jnp.sum(dp5 * dsy5, axis=-1, dtype=jnp.float32)[:, :ho, :wo, :]
+    dox = jnp.sum(dp5 * dsx5, axis=-1, dtype=jnp.float32)[:, :ho, :wo, :]
+    inb = (off >= -radius) & (off <= radius)
+    doff = jnp.stack([doy, dox], axis=-1) * inb.astype(jnp.float32)
+    doff = doff.reshape(bsz, ho, wo, 2 * k * k).astype(offsets.dtype)
+
+    # ---- dx: parity-split transposed shift-select at OUTPUT resolution
+    # (see _dx_kernel_s2 — no dilation, no 2x-res temporaries)
+    nbi = -(-h // BR)
+    hb2 = BR // 2
+    p0 = (d + radius + 2) // 2
+    win_rows = (BR - 1 + d + radius) // 2 + p0 + 1
+    rows_dp = max((nbi - 1) * hb2 + win_rows, p0 + npr_o)
+    al8 = lambda v: -(-v // 8) * 8  # noqa: E731
+    l0 = al8((d + radius + 2) // 2)
+    wqb = l0 + wq_o + 8
+    wq_h = wq_o
+
+    dp_t = dpatch.reshape(bsz, npr_o, wq_o, k * k, c).transpose(0, 3, 1, 2, 4)
+    dp_t = jnp.pad(dp_t, ((0, 0), (0, 0), (p0, rows_dp - p0 - npr_o),
+                          (l0, wqb - l0 - wq_o), (0, 0)))
+    planes = jnp.zeros((bsz, rows_dp, wqb, 128), jnp.float32)
+    planes = planes.at[:, p0:p0 + ho, l0:l0 + wo, 0:k * k].set(off[..., 0])
+    planes = planes.at[:, p0:p0 + ho, l0:l0 + wo,
+                       16:16 + k * k].set(off[..., 1])
+
+    out0, out1 = pl.pallas_call(
+        functools.partial(_dx_kernel_s2, k=k, dil=d, pad=pad, radius=radius,
+                          p0=p0, l0=l0, wq_h=wq_h, win_rows=win_rows),
+        grid=(bsz, nbi),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BR, wq_h, c), lambda ib, b: (ib, b, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 2,
+        out_shape=[jax.ShapeDtypeStruct((bsz, nbi * BR, wq_h, c),
+                                        x.dtype)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((win_rows, wqb, 128), jnp.float32),
+            pltpu.VMEM((win_rows, wqb, c), x.dtype),
+            pltpu.VMEM((BR, wq_h, c), jnp.float32),
+            pltpu.VMEM((BR, wq_h, c), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(planes, dp_t)
+    # interleave the column phases: even input cols from out0, odd from out1
+    dx = jnp.stack([out0, out1], axis=3)           # (B, rows, wq_h, 2, c)
+    dx = dx.reshape(bsz, nbi * BR, 2 * wq_h, c)[:, :h, :w, :].astype(x.dtype)
+
+    return dx, doff, dw.reshape(k, k, c, cout).astype(weight.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def make_trainable_deform_conv_s2(kernel: int = 3, dilation: int = 1,
+                                  radius: int = 3, interpret: bool = False):
+    """Stride-2 deformable conv with Pallas forward AND backward kernels
+    (custom_vjp) — the s2 analog of ``make_trainable_deform_conv``. Offsets
+    at output resolution, clamped to +-radius with the clip gradient; golden:
+    jax.grad of ops.dcn.deform_conv2d(stride=2) composed with jnp.clip
+    (tests/test_pallas_dcn_bwd.py)."""
+    kw = dict(kernel=kernel, dilation=dilation, radius=radius,
+              interpret=interpret)
+
+    @jax.custom_vjp
+    def f(x, offsets, weight):
+        return deform_conv2d_s2_pallas_batched(x, offsets, weight, **kw)
+
+    def fwd(x, offsets, weight):
+        return f(x, offsets, weight), (x, offsets, weight)
+
+    def bwd(res, g):
+        x, offsets, weight = res
+        return deform_conv2d_s2_bwd_pallas_batched(x, offsets, weight, g,
+                                                   **kw)
+
+    f.defvjp(fwd, bwd)
+    return f

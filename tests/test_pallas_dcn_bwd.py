@@ -15,7 +15,9 @@ import jax.numpy as jnp
 
 from mxdetection_tpu.ops import dcn
 from mxdetection_tpu.ops.pallas.dcn import (
-    deform_conv2d_bwd_pallas_batched, make_trainable_deform_conv)
+    deform_conv2d_bwd_pallas_batched, deform_conv2d_s2_bwd_pallas_batched,
+    deform_conv2d_s2_pallas_batched, make_trainable_deform_conv,
+    make_trainable_deform_conv_s2)
 
 RADIUS = 3
 
@@ -102,6 +104,77 @@ def test_custom_vjp_end_to_end():
 
     got = jax.grad(loss, argnums=(0, 1, 2))(x, off, w)
     _check(got, golden_grads(x, off, w, g))
+
+
+# ---------------------------------------------------------------------------
+# stride 2 (the first block of each DCN stage — the last gather+remat
+# fallback closed in round 4)
+
+
+def golden_grads_s2(x, off, w, g):
+    def loss(x, off, w):
+        off = jnp.clip(off, -RADIUS, RADIUS)
+        out = jax.vmap(
+            lambda xi, oi: dcn.deform_conv2d(xi, oi, w, stride=2))(x, off)
+        return jnp.sum(out * g)
+
+    return jax.grad(loss, argnums=(0, 1, 2))(x, off, w)
+
+
+def _rand_case_s2(rng, b, h, w_, c, cout, off_scale=4.0):
+    ho, wo = -(-h // 2), -(-w_ // 2)
+    x = jnp.asarray(rng.randn(b, h, w_, c).astype(np.float32))
+    off = jnp.asarray(
+        (rng.rand(b, ho, wo, 18).astype(np.float32) - 0.5) * 2 * off_scale)
+    w = jnp.asarray(rng.randn(3, 3, c, cout).astype(np.float32) * 0.05)
+    g = jnp.asarray(rng.randn(b, ho, wo, cout).astype(np.float32))
+    return x, off, w, g
+
+
+def pallas_grads_s2(x, off, w, g):
+    return deform_conv2d_s2_bwd_pallas_batched(x, off, w, g, radius=RADIUS,
+                                               interpret=True)
+
+
+def test_s2_bwd_matches_gather_grad():
+    rng = np.random.RandomState(10)
+    case = _rand_case_s2(rng, 1, 12, 10, 128, 128)
+    _check(pallas_grads_s2(*case), golden_grads_s2(*case))
+
+
+def test_s2_bwd_odd_shapes_batched():
+    rng = np.random.RandomState(11)
+    case = _rand_case_s2(rng, 2, 13, 11, 128, 128)
+    _check(pallas_grads_s2(*case), golden_grads_s2(*case))
+
+
+def test_s2_bwd_rectangular_channels():
+    rng = np.random.RandomState(12)
+    case = _rand_case_s2(rng, 1, 9, 14, 128, 256)
+    _check(pallas_grads_s2(*case), golden_grads_s2(*case))
+
+
+def test_s2_custom_vjp_end_to_end():
+    """jax.grad through the s2 custom_vjp entry point (fwd = Pallas too)."""
+    rng = np.random.RandomState(13)
+    x, off, w, g = _rand_case_s2(rng, 1, 11, 9, 128, 128, off_scale=2.0)
+    f = make_trainable_deform_conv_s2(radius=RADIUS, interpret=True)
+
+    def loss(x, off, w):
+        return jnp.sum(f(x, off, w) * g)
+
+    got = jax.grad(loss, argnums=(0, 1, 2))(x, off, w)
+    _check(got, golden_grads_s2(x, off, w, g))
+
+
+def test_s2_custom_vjp_forward_matches_inference_kernel():
+    rng = np.random.RandomState(14)
+    x, off, w, _ = _rand_case_s2(rng, 1, 10, 12, 128, 128)
+    f = make_trainable_deform_conv_s2(radius=RADIUS, interpret=True)
+    ref = deform_conv2d_s2_pallas_batched(x, off, w, radius=RADIUS,
+                                          interpret=True)
+    np.testing.assert_allclose(np.asarray(f(x, off, w)), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_custom_vjp_forward_matches_inference_kernel():
