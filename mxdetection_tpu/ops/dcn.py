@@ -168,7 +168,7 @@ def _dcn_impl() -> str:
     # VMEM-windowed shift-select 78 ms (VMEM FMA traffic of the dense
     # displacement terms is its floor). Training layers (stride 1 AND 2)
     # use the Pallas custom_vjp paths (round 4); only unaligned channels
-    # fall back to gather+remat.
+    # or dilation != 1 (and non-TPU backends) fall back to gather+remat.
     return "pallas" if jax.default_backend() == "tpu" else "gather"
 
 

@@ -106,6 +106,31 @@ def test_custom_vjp_end_to_end():
     _check(got, golden_grads(x, off, w, g))
 
 
+def _rel_err(got, ref):
+    got = np.asarray(got, np.float64)
+    ref = np.asarray(ref, np.float64)
+    return np.linalg.norm(got - ref) / max(np.linalg.norm(ref), 1e-12)
+
+
+def test_bwd_bf16_inputs_gradient_precision():
+    """Production runs the kernel on bf16 activations: dpatch is produced in
+    x.dtype and the doffsets product dp*dsy is computed in bf16 before the
+    f32-accumulating sum (a documented memory tradeoff, ADVICE r4). Bound the
+    resulting gradient error against the f32 golden: bf16 rounding is ~2^-8
+    relative per element and the sums accumulate in f32, so norm-relative
+    error stays in the low percent range — far below SGD noise."""
+    rng = np.random.RandomState(20)
+    x, off, w, g = _rand_case(rng, 1, 12, 10, 128, 128)
+    ref = golden_grads(x, off, w, g)
+    got = deform_conv2d_bwd_pallas_batched(
+        x.astype(jnp.bfloat16), off, w.astype(jnp.bfloat16),
+        g.astype(jnp.bfloat16), radius=RADIUS, interpret=True)
+    for gg, rr, name, tol in zip(got, ref, ("dx", "doffsets", "dweight"),
+                                 (0.03, 0.06, 0.03)):
+        err = _rel_err(gg, rr)
+        assert err < tol, f"{name}: bf16 rel err {err:.4f} >= {tol}"
+
+
 # ---------------------------------------------------------------------------
 # stride 2 (the first block of each DCN stage — the last gather+remat
 # fallback closed in round 4)
