@@ -497,15 +497,46 @@ def _bwd_kernel(int_ref, flt_ref, *refs, num_levels: int, out_size: int,
                 cp.wait()
 
 
+def _convert_pallas(x, out_dtype, *, interpret=False):
+    """Elementwise dtype convert as a Pallas kernel, over (B, H, W*C) buffers.
+
+    Exists ONLY as an XLA bf16-propagation firewall: when the backward's
+    budget-overflow ``lax.cond`` (aliased Pallas accumulators in both
+    branches) is consumed by a plain ``convert`` + reduction, XLA's bf16
+    propagation rewrites the conditional's result type but cannot rewrite the
+    aliased custom-call roots inside, and TPU AOT compilation fails with
+    "Can't deep copy instruction branch_0_fun ... f32[...] vs bf16[...]".
+    A custom call is opaque to that pass, so converting THROUGH a kernel pins
+    the cond at f32. (``lax.optimization_barrier`` does not block the pass —
+    measured.) Cost: one streaming read+write, ~free next to the bwd kernels.
+    """
+    b, hp, wpc = x.shape
+    rows = 8
+
+    def kern(x_ref, o_ref):
+        o_ref[...] = x_ref[...].astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kern,
+        grid=(b, hp // rows),
+        in_specs=[pl.BlockSpec((1, rows, wpc), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, rows, wpc), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, out_dtype),
+        interpret=interpret,
+    )(x)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("feature_shapes", "strides", "output_size",
                      "sampling_ratio", "min_level", "canonical_scale",
-                     "canonical_level", "interpret", "dtype"))
+                     "canonical_level", "interpret", "dtype", "out_dtype"))
 def multilevel_roi_align_bwd_pallas_batched(
     feature_shapes, g, rois_b, strides, *, output_size=7, sampling_ratio=2,
     min_level=2, canonical_scale=224.0, canonical_level=4, roi_valid=None,
-    interpret=False, dtype=jnp.float32,
+    interpret=False, dtype=jnp.float32, out_dtype=None,
 ):
     """Image-batched gradient wrt features. feature_shapes: ((H_l, W_l), ...);
     g (B, R, P, P, C); rois (B, R, 4). Returns [(B, H_l, W_l, C), ...]
@@ -597,6 +628,8 @@ def multilevel_roi_align_bwd_pallas_batched(
 
     out = []
     for (h, w), (hp, wp), gr in zip(feature_shapes, padded_hw, grads):
+        if out_dtype is not None and jnp.dtype(out_dtype) != gr.dtype:
+            gr = _convert_pallas(gr, out_dtype, interpret=interpret)
         out.append(gr.reshape(b, hp, wp, c)[:, :h, :w, :])
     return out
 
@@ -649,10 +682,14 @@ def make_trainable_roi_align(strides, *, output_size=7, sampling_ratio=2,
     def bwd(res, g):
         shapes, rois, roi_valid = res
         out_dtype = g.dtype
+        # f32 accumulation; the f32->out_dtype cast happens INSIDE the jitted
+        # backward through a Pallas convert kernel (see _convert_pallas for
+        # why a plain astype here fails TPU AOT compilation)
         grads = multilevel_roi_align_bwd_pallas_batched(
             shapes, g.astype(jnp.float32), rois, strides,
-            roi_valid=roi_valid, dtype=jnp.float32, **kw)
-        return ([gr.astype(out_dtype) for gr in grads],
+            roi_valid=roi_valid, dtype=jnp.float32,
+            out_dtype=jnp.dtype(out_dtype), **kw)
+        return (list(grads),
                 jnp.zeros_like(rois), jnp.zeros(roi_valid.shape, out_dtype))
 
     f.defvjp(fwd, bwd)

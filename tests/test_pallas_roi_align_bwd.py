@@ -14,7 +14,10 @@ import pytest
 SLOW = os.environ.get("MXDET_RUN_SLOW") == "1"
 
 from mxdetection_tpu.ops.roi_align import multilevel_roi_align
-from mxdetection_tpu.ops.pallas.roi_align import multilevel_roi_align_bwd_pallas
+from mxdetection_tpu.ops.pallas.roi_align import (
+    multilevel_roi_align_bwd_pallas,
+    multilevel_roi_align_bwd_pallas_batched,
+)
 
 
 def xla_grad(feats, rois, strides, g, valid=None):
@@ -70,6 +73,24 @@ def test_bwd_invalid_rois_contribute_zero():
     ref = xla_grad(fx, rois, (8,), g, valid=valid)
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_bwd_out_dtype_convert_kernel():
+    """out_dtype=bf16 routes the final cast through the Pallas convert kernel
+    (the XLA bf16-propagation firewall — see _convert_pallas); the result must
+    be the f32 grads rounded to bf16, not a lower-precision accumulation."""
+    rng = np.random.RandomState(4)
+    shapes = ((32, 32),)
+    rois = jnp.asarray([[[8.0, 8, 80, 70], [4.0, 4, 30, 30]]])
+    g = jnp.asarray(rng.randn(1, 2, 7, 7, 128).astype(np.float32))
+    ref = multilevel_roi_align_bwd_pallas_batched(
+        shapes, g, rois, (8,), interpret=True)
+    got = multilevel_roi_align_bwd_pallas_batched(
+        shapes, g, rois, (8,), interpret=True, out_dtype=jnp.dtype(jnp.bfloat16))
+    assert got[0].dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got[0], np.float32),
+        np.asarray(ref[0].astype(jnp.bfloat16), np.float32))
 
 
 def test_bwd_multilevel_and_valid_fast():

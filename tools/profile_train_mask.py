@@ -6,7 +6,10 @@ stages, each timed with value_and_grad where the real step differentiates
 through it, plus a Faster R-CNN full-step reference at identical settings so
 the mask branch's composed cost is the difference of two end-to-end numbers.
 
-    python tools/profile_train_mask.py [batch]
+    python tools/profile_train_mask.py [batch] [stages]
+
+``stages`` is an optional comma-list (e.g. ``5,6``) to run a subset — handy
+because the full-step stages cost minutes of TPU compile each.
 """
 
 import sys
@@ -92,6 +95,8 @@ def full_step_ms(cfg, tb, label, rng):
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    stages = (set(int(x) for x in sys.argv[2].split(","))
+              if len(sys.argv) > 2 else set(range(1, 7)))
     rng = jax.random.PRNGKey(1)
 
     cfg = load_config("configs/mask_rcnn_r50_fpn_1x.py")
@@ -100,11 +105,14 @@ def main():
     tb = make_batch(cfg, batch, with_masks=True)
 
     # 1/2: full steps — mask on vs the flagship at identical settings
-    t_mask, bundle, variables = full_step_ms(cfg, tb, "mask_rcnn fwd+bwd full", rng)
-    cfg_f = load_config("configs/faster_rcnn_r50_fpn_1x.py")
-    tb_f = {k: v for k, v in tb.items() if k != "box_masks"}
-    t_faster, _, _ = full_step_ms(cfg_f, tb_f, "faster_rcnn fwd+bwd full (ref)", rng)
-    print(f"{'mask-branch composed delta':<40} {t_mask - t_faster:8.2f} ms")
+    if 1 in stages:
+        t_mask, _, _ = full_step_ms(cfg, tb, "mask_rcnn fwd+bwd full", rng)
+    if 2 in stages:
+        cfg_f = load_config("configs/faster_rcnn_r50_fpn_1x.py")
+        tb_f = {k: v for k, v in tb.items() if k != "box_masks"}
+        t_faster, _, _ = full_step_ms(cfg_f, tb_f, "faster_rcnn fwd+bwd full (ref)", rng)
+        if 1 in stages:
+            print(f"{'mask-branch composed delta':<40} {t_mask - t_faster:8.2f} ms")
 
     # isolated mask-branch stages (the fg-quota prefix path of rcnn.py)
     m = cfg.mask_head
@@ -122,8 +130,9 @@ def main():
     def mra_loss(pyr):
         f = batched_roi_align(pyr, rois, rvalid, cfg, m.roi_output_size)
         return jnp.sum(f.astype(jnp.float32) ** 2)
-    timed(f"mask roi_align-{m.roi_output_size} fwd+bwd ({mp} rois)",
-          grad_scalar(jax.value_and_grad(mra_loss)), pyramid)
+    if 3 in stages:
+        timed(f"mask roi_align-{m.roi_output_size} fwd+bwd ({mp} rois)",
+              grad_scalar(jax.value_and_grad(mra_loss)), pyramid)
 
     # 4: box RoIAlign-7 fwd+bwd at the full sample count (for comparison)
     s = cfg.bbox_head.num_samples
@@ -133,24 +142,33 @@ def main():
     def bra_loss(pyr):
         f = batched_roi_align(pyr, rois_s, rvalid_s, cfg, 7)
         return jnp.sum(f.astype(jnp.float32) ** 2)
-    timed(f"box roi_align-7 fwd+bwd ({s} rois)",
-          grad_scalar(jax.value_and_grad(bra_loss)), pyramid)
+    if 4 in stages:
+        timed(f"box roi_align-7 fwd+bwd ({s} rois)",
+              grad_scalar(jax.value_and_grad(bra_loss)), pyramid)
 
     # 5: mask head fwd+bwd (4 convs + deconv + logits on mp*b rois)
+    from mxdetection_tpu.models.heads.bbox_head import MaskHead
+
     feats = jnp.asarray(
         npr.randn(batch * mp, m.roi_output_size, m.roi_output_size, 256),
         jnp.bfloat16)
-    mh_params = bundle.model.mask_head.init(jax.random.PRNGKey(2), feats)
+    mask_head = MaskHead(num_classes=cfg.bbox_head.num_classes,
+                         num_convs=m.num_convs, channels=m.channels,
+                         dtype=jnp.dtype(cfg.backbone.dtype))
+    mh_params = mask_head.init(jax.random.PRNGKey(2), feats)
 
     def mh_loss(p, f):
-        out = bundle.model.mask_head.apply(p, f)
+        out = mask_head.apply(p, f)
         return jnp.sum(out.astype(jnp.float32) ** 2)
-    timed(f"mask head fwd+bwd ({batch * mp} rois)",
-          grad_scalar(jax.value_and_grad(mh_loss)), mh_params, feats)
+    if 5 in stages:
+        timed(f"mask head fwd+bwd ({batch * mp} rois)",
+              grad_scalar(jax.value_and_grad(mh_loss)), mh_params, feats)
 
     # 6: mask target crops (stop-grad in the real step: fwd only)
     bm = tb["box_masks"]
     mg = jnp.zeros((batch, mp), jnp.int32)
+    if 6 not in stages:
+        return
     timed(f"mask targets ({mp} rois, fwd)",
           jax.jit(lambda bm, gb, r, mg: jax.vmap(
               lambda a, b2, c2, d2: mask_targets_for_rois(
