@@ -52,8 +52,9 @@ def _golden(feat, rois, stride, p, s, offsets=None, trans_std=0.1):
     return out
 
 
+@pytest.mark.parametrize("impl", ["gather", "dense"])
 @pytest.mark.parametrize("deform", [False, True])
-def test_psroi_matches_golden(deform):
+def test_psroi_matches_golden(deform, impl):
     rng = np.random.RandomState(0)
     p, c, stride = 3, 4, 8
     feat = rng.randn(16, 20, p * p * c).astype(np.float32)
@@ -69,9 +70,44 @@ def test_psroi_matches_golden(deform):
     got = psroi_pool(
         jnp.asarray(feat), jnp.asarray(rois), stride, output_size=p,
         sampling_ratio=2,
-        offsets=None if offsets is None else jnp.asarray(offsets))
+        offsets=None if offsets is None else jnp.asarray(offsets), impl=impl)
     want = _golden(feat, rois, stride, p, 2, offsets)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_psroi_dense_matches_gather_values_and_grads():
+    """The dense (separable-profile matmul) formulation is the same sum as
+    the gather formulation, reassociated — values AND grads (features and
+    offsets) must agree to float tolerance, valid-masked rows included."""
+    rng = np.random.RandomState(7)
+    p, c, stride = 3, 4, 8
+    feat = jnp.asarray(rng.randn(16, 20, p * p * c), jnp.float32)
+    rois = jnp.asarray([
+        [10.0, 12.0, 90.0, 70.0],
+        [0.0, 0.0, 159.0, 127.0],
+        [40.0, 40.0, 48.0, 48.0],
+        [-20.0, -10.0, 30.0, 25.0],
+    ])
+    valid = jnp.asarray([True, True, False, True])
+    offs = jnp.asarray(rng.randn(4, p, p, 2), jnp.float32)
+
+    def run(impl):
+        def loss(f, o):
+            out = psroi_pool(f, rois, stride, output_size=p, offsets=o,
+                             roi_valid=valid, impl=impl)
+            return jnp.sum(out ** 2), out
+        (l, out), (gf, go) = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True)(feat, offs)
+        return out, gf, go
+
+    out_g, gf_g, go_g = run("gather")
+    out_d, gf_d, go_d = run("dense")
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_g),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gf_d), np.asarray(gf_g),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(go_d), np.asarray(go_g),
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_psroi_channel_groups_are_position_sensitive():
