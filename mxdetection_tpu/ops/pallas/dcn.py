@@ -64,8 +64,23 @@ def _kernel(oy_ref, ox_ref, x_hbm, w_ref, out_ref, win, sem, *,
     blk_lo = jnp.floor(jnp.min(oy_blk)).astype(jnp.int32) + radius
     blk_hi = jnp.floor(jnp.max(oy_blk)).astype(jnp.int32) + radius
 
+    # Banded-MXU x-selection (round 5, 2.4x over the unrolled one-hot FMAs):
+    # for each (tap, dy) the x-contraction  patch[x] = sum_dx wx[x,dx] *
+    # row[x + col_base + dx]  IS a banded matmul  B @ row  with
+    # B[x, xin] = wy[x] * wx(x, xin) built densely from iota comparisons
+    # (~6 VPU ops on (Wq, Wp) f32) — the whole +-radius range rides one MXU
+    # contraction instead of 2R+2 unrolled (Wq, C) mask-FMA triples per tap.
+    # Taps sharing a ty read the same win row, so each dy iteration is k
+    # matmuls of (k*Wq, Wp) @ (Wp, C). The dy fori still runs only over the
+    # block's actual y-offset span (bounds hoisted above).
+    out_w = out_ref.shape[2]
+    wp = win.shape[1]
+    iota_x = jax.lax.broadcasted_iota(
+        jnp.int32, (out_w, wp), 0).astype(jnp.float32)
+    iota_xin = jax.lax.broadcasted_iota(
+        jnp.int32, (out_w, wp), 1).astype(jnp.float32)
     for i in range(BR):
-        accs = []
+        tap_params = []
         for t, (ty, tx) in enumerate(taps):
             col = i * 9 + t
             oy = jnp.clip(oy_ref[0, :, col:col + 1], -radius, radius)  # (Wq, 1)
@@ -74,44 +89,38 @@ def _kernel(oy_ref, ox_ref, x_hbm, w_ref, out_ref, win, sem, *,
             fy = oy - ylo
             xlo = jnp.floor(ox)
             fx = ox - xlo
+            d = iota_xin - iota_x - (tx * dil + 1) - radius
+            bx = (jnp.where(d == xlo, 1.0 - fx, 0.0)
+                  + jnp.where(d == xlo + 1, fx, 0.0))
+            tap_params.append((ty, ylo, fy, bx))
 
-            row_base = i + ty * dil + 1  # + (margin - pad - radius) == +1
-            col_base = tx * dil + 1
-            out_w = out_ref.shape[2]
-
-            # Dynamic y-displacement range (per-block bounds hoisted above):
-            # the fori runs only over the block's actual offset span —
-            # trained DCNv1 offsets are mostly sub-cell, so ~3 dy iterations
-            # instead of the dense 2R+2 = 8. dim-0 window indexing is
-            # untiled, so the dynamic row index is legal; x displacements
-            # stay statically unrolled (sublane offsets must be static for
-            # Mosaic) with the accumulator carried in registers.
-            wxs = [
-                (jnp.where(xlo == dxi - radius, 1.0 - fx, 0.0)
-                 + jnp.where(xlo + 1 == dxi - radius, fx, 0.0))
-                for dxi in range(r2)
-            ]
-
-            def dy_body(dyi, acc):
-                dy = dyi - radius
+        def dy_body(dyi, acc, i=i, tap_params=tap_params):
+            dy = dyi - radius
+            bands = []
+            for (ty, ylo, fy, bx) in tap_params:
                 wy = (jnp.where(ylo == dy, 1.0 - fy, 0.0)
                       + jnp.where(ylo + 1 == dy, fy, 0.0))
-                data_row = win[row_base + dyi, :, :]  # (Wp, C), dynamic dim-0
-                for dxi in range(r2):
-                    m = (wy * wxs[dxi]).astype(data_row.dtype)
-                    sl = data_row[col_base + dxi:col_base + dxi + out_w, :]
-                    acc = acc + m * sl
-                return acc
+                bands.append((wy * bx).astype(win.dtype))
+            parts = []
+            for ty_g in range(k):
+                grp = [bands[j] for j in range(k * k) if taps[j][0] == ty_g]
+                bstack = jnp.concatenate(grp, axis=0)       # (k*Wq, Wp)
+                row = win[i + ty_g * dil + 1 + dyi, :, :]   # dynamic dim-0
+                parts.append(jax.lax.dot_general(
+                    bstack, row, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            return acc + jnp.concatenate(parts, axis=0)     # (k*k*Wq, C)
 
-            accs.append(jax.lax.fori_loop(
-                blk_lo, blk_hi + 2, dy_body,
-                jnp.zeros((out_w, c), win.dtype)))
-
+        acc0 = jnp.zeros((k * k * out_w, c), jnp.float32)
+        accs_st = jax.lax.fori_loop(blk_lo, blk_hi + 2, dy_body, acc0)
+        # rows of accs_st are in tap order (ty-major): reassemble (Wq, 9C)
+        patch = jnp.concatenate(
+            [accs_st[t * out_w:(t + 1) * out_w, :] for t in range(k * k)],
+            axis=1).astype(win.dtype)
         # ONE (out_w, 9C) @ (9C, Cout) matmul per row instead of 9 per-tap
         # (out_w, C) @ (C, Cout) matmuls: the per-matmul issue overhead was
         # the radius-independent base cost of this kernel (~7.9 of 14.1 ms
         # on the stage-3 layer, tools/exp_dcn2.py)
-        patch = jnp.concatenate(accs, axis=1)                   # (out_w, 9C)
         out_acc = jax.lax.dot_general(
             patch, w_ref[:, :], dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -266,8 +275,18 @@ def _patches_kernel(oy_ref, ox_ref, x_hbm, p_ref, dsy_ref, dsx_ref, win, sem,
     blk_lo = jnp.floor(jnp.min(oy_blk)).astype(jnp.int32) + radius
     blk_hi = jnp.floor(jnp.max(oy_blk)).astype(jnp.int32) + radius
 
+    # Banded-MXU x-selection, like the forward kernel (round 5) — but with
+    # THREE band variants per tap: value (wy*wx), d/doy (dwy*wx) and d/dox
+    # (wy*dwx). Taps sharing a ty read the same win row, so each dy
+    # iteration is k matmuls of (3k*Wq, Wp) @ (Wp, C).
     out_w = p_ref.shape[2]
+    wp = win.shape[1]
+    iota_x = jax.lax.broadcasted_iota(
+        jnp.int32, (out_w, wp), 0).astype(jnp.float32)
+    iota_xin = jax.lax.broadcasted_iota(
+        jnp.int32, (out_w, wp), 1).astype(jnp.float32)
     for i in range(PBR):
+        tap_params = []
         for t, (ty, tx) in enumerate(taps):
             col = i * (k * k) + t
             oy = jnp.clip(oy_ref[0, :, col:col + 1], -radius, radius)
@@ -276,47 +295,51 @@ def _patches_kernel(oy_ref, ox_ref, x_hbm, p_ref, dsy_ref, dsx_ref, win, sem,
             fy = oy - ylo
             xlo = jnp.floor(ox)
             fx = ox - xlo
+            tap_params.append((ty, tx, ylo, fy, xlo, fx))
 
-            row_base = i + ty * dil + 1  # + (margin - pad - radius) == +1
-            col_base = tx * dil + 1
+        # per-ty-group fori (bands rebuilt per iteration): holding either
+        # precomputed (Wq, Wp) band grids or the full 3*k*k*Wq-row f32
+        # accumulator across one big fori blows the 16M VMEM stack at the
+        # c=512 / wide-stage shapes; per-group the accumulator is k x
+        # smaller and the matmul count is unchanged
+        for ty_g in range(k):
+            grp_params = [p for p in tap_params if p[0] == ty_g]
 
-            wxs = [
-                (jnp.where(xlo == dxi - radius, 1.0 - fx, 0.0)
-                 + jnp.where(xlo + 1 == dxi - radius, fx, 0.0))
-                for dxi in range(r2)
-            ]
-            # d(wx)/d(ox): floor carries zero gradient, so the one-hot just
-            # flips sign between the two corners
-            dwxs = [
-                (jnp.where(xlo == dxi - radius, -1.0, 0.0)
-                 + jnp.where(xlo + 1 == dxi - radius, 1.0, 0.0))
-                for dxi in range(r2)
-            ]
-
-            def dy_body(dyi, accs):
-                ap, ay, ax = accs
+            def dy_body(dyi, acc, i=i, ty_g=ty_g, grp_params=grp_params):
                 dy = dyi - radius
-                wy = (jnp.where(ylo == dy, 1.0 - fy, 0.0)
-                      + jnp.where(ylo + 1 == dy, fy, 0.0))
-                dwy = (jnp.where(ylo == dy, -1.0, 0.0)
-                       + jnp.where(ylo + 1 == dy, 1.0, 0.0))
-                data_row = win[row_base + dyi, :, :]
-                for dxi in range(r2):
-                    sl = data_row[col_base + dxi:col_base + dxi + out_w, :]
-                    mp = (wy * wxs[dxi]).astype(sl.dtype)
-                    my = (dwy * wxs[dxi]).astype(sl.dtype)
-                    mx = (wy * dwxs[dxi]).astype(sl.dtype)
-                    ap = ap + mp * sl
-                    ay = ay + my * sl
-                    ax = ax + mx * sl
-                return ap, ay, ax
+                bands = []
+                for (ty, tx, ylo, fy, xlo, fx) in grp_params:
+                    d = iota_xin - iota_x - (tx * dil + 1) - radius
+                    bx = (jnp.where(d == xlo, 1.0 - fx, 0.0)
+                          + jnp.where(d == xlo + 1, fx, 0.0))
+                    # d(wx)/d(ox): floor carries zero gradient, so the
+                    # one-hot just flips sign between the two corners
+                    dbx = (jnp.where(d == xlo, -1.0, 0.0)
+                           + jnp.where(d == xlo + 1, 1.0, 0.0))
+                    wy = (jnp.where(ylo == dy, 1.0 - fy, 0.0)
+                          + jnp.where(ylo + 1 == dy, fy, 0.0))
+                    dwy = (jnp.where(ylo == dy, -1.0, 0.0)
+                           + jnp.where(ylo + 1 == dy, 1.0, 0.0))
+                    bands.extend([(wy * bx).astype(win.dtype),
+                                  (dwy * bx).astype(win.dtype),
+                                  (wy * dbx).astype(win.dtype)])
+                bstack = jnp.concatenate(bands, axis=0)    # (3k*Wq, Wp)
+                row = win[i + ty_g * dil + 1 + dyi, :, :]
+                return acc + jax.lax.dot_general(
+                    bstack, row, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
 
-            z = jnp.zeros((out_w, c), win.dtype)
-            ap, ay, ax = jax.lax.fori_loop(blk_lo, blk_hi + 2, dy_body,
-                                           (z, z, z))
-            p_ref[0, i, :, t * c:(t + 1) * c] = ap.astype(p_ref.dtype)
-            dsy_ref[0, i, :, t * c:(t + 1) * c] = ay.astype(dsy_ref.dtype)
-            dsx_ref[0, i, :, t * c:(t + 1) * c] = ax.astype(dsx_ref.dtype)
+            acc0 = jnp.zeros((3 * k * out_w, c), jnp.float32)
+            accs_st = jax.lax.fori_loop(blk_lo, blk_hi + 2, dy_body, acc0)
+            for tj in range(k):
+                t = ty_g * k + tj
+                base = 3 * tj * out_w
+                p_ref[0, i, :, t * c:(t + 1) * c] = (
+                    accs_st[base:base + out_w, :].astype(p_ref.dtype))
+                dsy_ref[0, i, :, t * c:(t + 1) * c] = (
+                    accs_st[base + out_w:base + 2 * out_w, :].astype(dsy_ref.dtype))
+                dsx_ref[0, i, :, t * c:(t + 1) * c] = (
+                    accs_st[base + 2 * out_w:base + 3 * out_w, :].astype(dsx_ref.dtype))
 
 
 def _dx_kernel(op_hbm, dp_hbm, out_ref, op_win, dp_win, sem1, sem2, *,
@@ -342,15 +365,29 @@ def _dx_kernel(op_hbm, dp_hbm, out_ref, op_win, dp_win, sem1, sem2, *,
 
     out_ref[...] = jnp.zeros_like(out_ref)
 
-    r2 = 2 * radius + 2
+    # Banded-MXU transpose (round 5): for a fixed (tap, dy) the source sum
+    # dx[s, c] = sum_j wy[j] * wx(j, s) * dpatch[j, c] is a matmul
+    # Bt^T @ dprow with the band TRANSPOSED — source index j on sublanes, so
+    # the (wqb, 1) mask vectors broadcast along lanes without a transpose,
+    # and dot_general contracts dim 0 of both operands. The 2R+2 static
+    # x-shift slices collapse into the band's iota comparison; zero-padded
+    # dpatch rows/cols kill out-of-range terms exactly as the sliced
+    # formulation did.
     taps = [(ty, tx) for ty in range(k) for tx in range(k)]
+    wqb_win = dp_win.shape[1]
+    iota_j = jax.lax.broadcasted_iota(
+        jnp.int32, (wqb_win, wq), 0).astype(jnp.float32)
+    iota_s = jax.lax.broadcasted_iota(
+        jnp.int32, (wqb_win, wq), 1).astype(jnp.float32)
     for t, (ty, tx) in enumerate(taps):
         cp2 = pltpu.make_async_copy(dp_hbm.at[ib, t, pl.ds(base, win_rows)],
                                     dp_win, sem2)
         cp2.start()
         cp2.wait()
+        # dxv implied by the (j, s) pair for this tap
+        dxv_grid = iota_s - iota_j + (lpad + pad - tx * dil)
         for i in range(BR):
-            def dy_body(dyi, acc):
+            def dy_body(dyi, acc, i=i, t=t, ty=ty, dxv_grid=dxv_grid):
                 # window row of source output i = r + pad - ty*dil - dy,
                 # with window row 0 = output row base - (dil + radius + 1)
                 iw = i + pad + dil * (1 - ty) + 2 * radius + 1 - dyi
@@ -363,16 +400,13 @@ def _dx_kernel(op_hbm, dp_hbm, out_ref, op_win, dp_win, sem1, sem2, *,
                 fx = ox - xlo
                 wy = (jnp.where(ylo == dy, 1.0 - fy, 0.0)
                       + jnp.where(ylo + 1 == dy, fy, 0.0))
+                bt = wy * (jnp.where(dxv_grid == xlo, 1.0 - fx, 0.0)
+                           + jnp.where(dxv_grid == xlo + 1, fx, 0.0))
                 dprow = dp_win[iw, :, :]
-                for dxi in range(r2):
-                    dxv = dxi - radius
-                    wx = (jnp.where(xlo == dxv, 1.0 - fx, 0.0)
-                          + jnp.where(xlo + 1 == dxv, fx, 0.0))
-                    sh = lpad + pad - tx * dil - dxv
-                    m = (wy * wx)[sh:sh + wq]
-                    sl = dprow[sh:sh + wq, :]
-                    acc = acc + m * sl.astype(jnp.float32)
-                return acc
+                return acc + jax.lax.dot_general(
+                    bt.astype(dprow.dtype), dprow,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
 
             acc = jax.lax.fori_loop(
                 blk_lo, blk_hi + 2, dy_body,
@@ -595,8 +629,18 @@ def _kernel_s2(oy_ref, ox_ref, x_hbm, w_ref, out_ref, win, sem, *,
     blk_lo = jnp.floor(jnp.min(oy_blk)).astype(jnp.int32) + radius
     blk_hi = jnp.floor(jnp.max(oy_blk)).astype(jnp.int32) + radius
 
+    # Banded-MXU x-selection with the column-parity split (round 5, see
+    # _kernel): padded col = 2j + colp, so each parity plane ph gets its own
+    # band with dxv = 2*(q - j) + ph - tx*dil - 1 - radius; out-of-range
+    # (j, q) pairs simply never match the one-hot. Each dy iteration is
+    # k(ty) x 2(parity) matmuls of (k*Wq, Wq2) @ (Wq2, C).
+    wq2 = win.shape[1]
+    iota_j = jax.lax.broadcasted_iota(
+        jnp.int32, (out_w, wq2), 0).astype(jnp.float32)
+    iota_q = jax.lax.broadcasted_iota(
+        jnp.int32, (out_w, wq2), 1).astype(jnp.float32)
     for i in range(BR):
-        accs = []
+        tap_params = []
         for t, (ty, tx) in enumerate(taps):
             col = i * 9 + t
             oy = jnp.clip(oy_ref[0, :, col:col + 1], -radius, radius)
@@ -605,34 +649,42 @@ def _kernel_s2(oy_ref, ox_ref, x_hbm, w_ref, out_ref, win, sem, *,
             fy = oy - ylo
             xlo = jnp.floor(ox)
             fx = ox - xlo
+            bxs = []
+            for ph in range(2):
+                dxv = (2.0 * (iota_q - iota_j) + ph - tx * dil - 1 - radius)
+                bxs.append(jnp.where(dxv == xlo, 1.0 - fx, 0.0)
+                           + jnp.where(dxv == xlo + 1, fx, 0.0))
+            tap_params.append((ty, ylo, fy, bxs))
 
-            row_base = 2 * i + ty * dil + 1  # + (margin - pad - radius) == +1
-
-            wxs = [
-                (jnp.where(xlo == dxi - radius, 1.0 - fx, 0.0)
-                 + jnp.where(xlo + 1 == dxi - radius, fx, 0.0))
-                for dxi in range(r2)
-            ]
-
-            def dy_body(dyi, acc):
-                dy = dyi - radius
+        def dy_body(dyi, acc, i=i, tap_params=tap_params):
+            dy = dyi - radius
+            bands = []
+            for (ty, ylo, fy, bxs) in tap_params:
                 wy = (jnp.where(ylo == dy, 1.0 - fy, 0.0)
                       + jnp.where(ylo + 1 == dy, fy, 0.0))
-                data_row = win[row_base + dyi, :, :]  # (WQ2, 2C)
-                for dxi in range(r2):
-                    m = (wy * wxs[dxi]).astype(data_row.dtype)
-                    colp = tx * dil + 1 + dxi   # padded col = 2j + colp
-                    q0, ph = colp // 2, colp % 2
-                    sl = data_row[q0:q0 + out_w, ph * c:(ph + 1) * c]
-                    acc = acc + m * sl
-                return acc
+                bands.append(tuple((wy * bx).astype(win.dtype) for bx in bxs))
+            parts_all = []
+            for ty_g in range(k):
+                data_row = win[2 * i + ty_g * dil + 1 + dyi, :, :]  # (WQ2, 2C)
+                parts = None
+                for ph in range(2):
+                    grp = [bands[j][ph] for j in range(k * k)
+                           if taps[j][0] == ty_g]
+                    bstack = jnp.concatenate(grp, axis=0)   # (k*Wq, Wq2)
+                    prod = jax.lax.dot_general(
+                        bstack, data_row[:, ph * c:(ph + 1) * c],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    parts = prod if parts is None else parts + prod
+                parts_all.append(parts)
+            return acc + jnp.concatenate(parts_all, axis=0)
 
-            accs.append(jax.lax.fori_loop(
-                blk_lo, blk_hi + 2, dy_body,
-                jnp.zeros((out_w, c), win.dtype)))
-
+        acc0 = jnp.zeros((k * k * out_w, c), jnp.float32)
+        accs_st = jax.lax.fori_loop(blk_lo, blk_hi + 2, dy_body, acc0)
+        patch = jnp.concatenate(
+            [accs_st[t * out_w:(t + 1) * out_w, :] for t in range(k * k)],
+            axis=1).astype(win.dtype)
         # single fused (out_w, 9C) @ (9C, Cout) matmul (see _kernel)
-        patch = jnp.concatenate(accs, axis=1)
         out_acc = jax.lax.dot_general(
             patch, w_ref[:, :], dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -766,20 +818,32 @@ def _dx_kernel_s2(op_hbm, dp_hbm, out0_ref, out1_ref, op_win, dp_win, acc0_s,
     acc0_s[...] = jnp.zeros_like(acc0_s)
     acc1_s[...] = jnp.zeros_like(acc1_s)
 
-    r2 = 2 * radius + 2
+    # Banded-MXU transpose with the receiving-column parity split (round 5,
+    # see _dx_kernel): for phase ph the source relation j - s = l0 +
+    # (e + ph)/2 with e = pad - tx*dil - dxv inverts to dxv_grid = pad -
+    # tx*dil + ph - 2*(j - s - l0); each (tap, dy-step) is TWO matmuls of
+    # (Wqb, Wq_h)^T-contracted bands against the dpatch window row.
     taps = [(ty, tx) for ty in range(k) for tx in range(k)]
+    wqb_win = dp_win.shape[1]
+    iota_j = jax.lax.broadcasted_iota(
+        jnp.int32, (wqb_win, wq_h), 0).astype(jnp.float32)
+    iota_s = jax.lax.broadcasted_iota(
+        jnp.int32, (wqb_win, wq_h), 1).astype(jnp.float32)
     for t, (ty, tx) in enumerate(taps):
         cp2 = pltpu.make_async_copy(dp_hbm.at[ib, t, pl.ds(base2, win_rows)],
                                     dp_win, sem2)
         cp2.start()
         cp2.wait()
+        dxv_grids = [pad - tx * dil + ph - 2.0 * (iota_j - iota_s - l0)
+                     for ph in range(2)]
         for i in range(BR):
             # dyi parity class for even source-row numerator (static per i,ty)
             par = (i + pad + ty * dil + radius) & 1
             start_p = blk_lo + jnp.bitwise_and(par - blk_lo, 1)
             cnt = jnp.maximum(0, (blk_hi + 2 - start_p + 1) // 2)
 
-            def dy_body(dyj, accs):
+            def dy_body(dyj, accs, i=i, t=t, ty=ty, start_p=start_p,
+                        dxv_grids=dxv_grids):
                 acc0, acc1 = accs
                 dyi = start_p + 2 * dyj
                 dyv = dyi - radius
@@ -794,20 +858,15 @@ def _dx_kernel_s2(op_hbm, dp_hbm, out0_ref, out1_ref, op_win, dp_win, acc0_s,
                 wy = (jnp.where(ylo == dyv, 1.0 - fy, 0.0)
                       + jnp.where(ylo + 1 == dyv, fy, 0.0))
                 dprow = dp_win[iw, :, :]
-                for dxi in range(r2):
-                    dxv = dxi - radius
-                    e = pad - tx * dil - dxv
-                    ph = e & 1          # receiving column phase (static)
-                    sh = l0 + (e + ph) // 2
-                    wx = (jnp.where(xlo == dxv, 1.0 - fx, 0.0)
-                          + jnp.where(xlo + 1 == dxv, fx, 0.0))  # (W, 1)
-                    m = (wy * wx)[sh:sh + wq_h]
-                    sl = dprow[sh:sh + wq_h, :]
-                    if ph == 0:
-                        acc0 = acc0 + m * sl.astype(jnp.float32)
-                    else:
-                        acc1 = acc1 + m * sl.astype(jnp.float32)
-                return acc0, acc1
+                outs = []
+                for ph in range(2):
+                    bt = wy * (jnp.where(dxv_grids[ph] == xlo, 1.0 - fx, 0.0)
+                               + jnp.where(dxv_grids[ph] == xlo + 1, fx, 0.0))
+                    outs.append(jax.lax.dot_general(
+                        bt.astype(dprow.dtype), dprow,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+                return acc0 + outs[0], acc1 + outs[1]
 
             z = jnp.zeros((wq_h, dp_win.shape[2]), jnp.float32)
             acc0, acc1 = jax.lax.fori_loop(0, cnt, dy_body, (z, z))
@@ -835,8 +894,18 @@ def _patches_kernel_s2(oy_ref, ox_ref, x_hbm, p_ref, dsy_ref, dsx_ref, win,
     blk_lo = jnp.floor(jnp.min(oy_blk)).astype(jnp.int32) + radius
     blk_hi = jnp.floor(jnp.max(oy_blk)).astype(jnp.int32) + radius
 
+    # Banded-MXU x-selection with the column-parity split AND three band
+    # kinds per tap (value / d_oy / d_ox) — the stride-2 composition of the
+    # round-5 _kernel / _patches_kernel redesigns. Each dy iteration is
+    # k(ty) x 2(parity) matmuls of (3k*Wq, Wq2) @ (Wq2, C).
     out_w = p_ref.shape[2]
+    wq2 = win.shape[1]
+    iota_j = jax.lax.broadcasted_iota(
+        jnp.int32, (out_w, wq2), 0).astype(jnp.float32)
+    iota_q = jax.lax.broadcasted_iota(
+        jnp.int32, (out_w, wq2), 1).astype(jnp.float32)
     for i in range(PBR2):
+        tap_params = []
         for t, (ty, tx) in enumerate(taps):
             col = i * (k * k) + t
             oy = jnp.clip(oy_ref[0, :, col:col + 1], -radius, radius)
@@ -845,46 +914,53 @@ def _patches_kernel_s2(oy_ref, ox_ref, x_hbm, p_ref, dsy_ref, dsx_ref, win,
             fy = oy - ylo
             xlo = jnp.floor(ox)
             fx = ox - xlo
+            tap_params.append((ty, tx, ylo, fy, xlo, fx))
 
-            row_base = 2 * i + ty * dil + 1  # + (margin - pad - radius) == +1
+        # per-ty-group fori with bands rebuilt per iteration — the same
+        # VMEM-stack discipline as the stride-1 patches kernel (one big
+        # accumulator + held band grids OOM the 16M scoped vmem)
+        for ty_g in range(k):
+            grp_params = [p for p in tap_params if p[0] == ty_g]
 
-            wxs = [
-                (jnp.where(xlo == dxi - radius, 1.0 - fx, 0.0)
-                 + jnp.where(xlo + 1 == dxi - radius, fx, 0.0))
-                for dxi in range(r2)
-            ]
-            dwxs = [
-                (jnp.where(xlo == dxi - radius, -1.0, 0.0)
-                 + jnp.where(xlo + 1 == dxi - radius, 1.0, 0.0))
-                for dxi in range(r2)
-            ]
-
-            def dy_body(dyi, accs):
-                ap, ay, ax = accs
+            def dy_body(dyi, acc, i=i, ty_g=ty_g, grp_params=grp_params):
                 dy = dyi - radius
-                wy = (jnp.where(ylo == dy, 1.0 - fy, 0.0)
-                      + jnp.where(ylo + 1 == dy, fy, 0.0))
-                dwy = (jnp.where(ylo == dy, -1.0, 0.0)
-                       + jnp.where(ylo + 1 == dy, 1.0, 0.0))
-                data_row = win[row_base + dyi, :, :]  # (WQ2, 2C)
-                for dxi in range(r2):
-                    colp = tx * dil + 1 + dxi   # padded col = 2j + colp
-                    q0, ph = colp // 2, colp % 2
-                    sl = data_row[q0:q0 + out_w, ph * c:(ph + 1) * c]
-                    mp = (wy * wxs[dxi]).astype(sl.dtype)
-                    my = (dwy * wxs[dxi]).astype(sl.dtype)
-                    mx = (wy * dwxs[dxi]).astype(sl.dtype)
-                    ap = ap + mp * sl
-                    ay = ay + my * sl
-                    ax = ax + mx * sl
-                return ap, ay, ax
+                data_row = win[2 * i + ty_g * dil + 1 + dyi, :, :]  # (WQ2, 2C)
+                parts = None
+                for ph in range(2):
+                    bands = []
+                    for (ty, tx, ylo, fy, xlo, fx) in grp_params:
+                        wy = (jnp.where(ylo == dy, 1.0 - fy, 0.0)
+                              + jnp.where(ylo + 1 == dy, fy, 0.0))
+                        dwy = (jnp.where(ylo == dy, -1.0, 0.0)
+                               + jnp.where(ylo + 1 == dy, 1.0, 0.0))
+                        dxv = (2.0 * (iota_q - iota_j) + ph - tx * dil - 1
+                               - radius)
+                        bx = (jnp.where(dxv == xlo, 1.0 - fx, 0.0)
+                              + jnp.where(dxv == xlo + 1, fx, 0.0))
+                        dbx = (jnp.where(dxv == xlo, -1.0, 0.0)
+                               + jnp.where(dxv == xlo + 1, 1.0, 0.0))
+                        bands.extend([(wy * bx).astype(win.dtype),
+                                      (dwy * bx).astype(win.dtype),
+                                      (wy * dbx).astype(win.dtype)])
+                    bstack = jnp.concatenate(bands, axis=0)  # (3k*Wq, Wq2)
+                    prod = jax.lax.dot_general(
+                        bstack, data_row[:, ph * c:(ph + 1) * c],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    parts = prod if parts is None else parts + prod
+                return acc + parts
 
-            z = jnp.zeros((out_w, c), win.dtype)
-            ap, ay, ax = jax.lax.fori_loop(blk_lo, blk_hi + 2, dy_body,
-                                           (z, z, z))
-            p_ref[0, i, :, t * c:(t + 1) * c] = ap.astype(p_ref.dtype)
-            dsy_ref[0, i, :, t * c:(t + 1) * c] = ay.astype(dsy_ref.dtype)
-            dsx_ref[0, i, :, t * c:(t + 1) * c] = ax.astype(dsx_ref.dtype)
+            acc0 = jnp.zeros((3 * k * out_w, c), jnp.float32)
+            accs_st = jax.lax.fori_loop(blk_lo, blk_hi + 2, dy_body, acc0)
+            for tj in range(k):
+                t = ty_g * k + tj
+                base_r = 3 * tj * out_w
+                p_ref[0, i, :, t * c:(t + 1) * c] = (
+                    accs_st[base_r:base_r + out_w, :].astype(p_ref.dtype))
+                dsy_ref[0, i, :, t * c:(t + 1) * c] = (
+                    accs_st[base_r + out_w:base_r + 2 * out_w, :].astype(dsy_ref.dtype))
+                dsx_ref[0, i, :, t * c:(t + 1) * c] = (
+                    accs_st[base_r + 2 * out_w:base_r + 3 * out_w, :].astype(dsx_ref.dtype))
 
 
 @functools.partial(jax.jit, static_argnames=("kernel", "dilation", "radius",
