@@ -343,7 +343,8 @@ def _patches_kernel(oy_ref, ox_ref, x_hbm, p_ref, dsy_ref, dsx_ref, win, sem,
 
 
 def _dx_kernel(op_hbm, dp_hbm, out_ref, op_win, dp_win, sem1, sem2, *,
-               k: int, dil: int, pad: int, radius: int, lpad: int, wq: int):
+               k: int, dil: int, pad: int, radius: int, lpad: int, wq: int,
+               c: int):
     """dx via the transposed shift-select: for input row r, source output row
     i = r - ty*dil + pad - dy and source col j = s - tx*dil + pad - dx; both
     mask and dpatch are read at the source, so each (tap, dy, dx) term is one
@@ -372,26 +373,32 @@ def _dx_kernel(op_hbm, dp_hbm, out_ref, op_win, dp_win, sem1, sem2, *,
     # and dot_general contracts dim 0 of both operands. The 2R+2 static
     # x-shift slices collapse into the band's iota comparison; zero-padded
     # dpatch rows/cols kill out-of-range terms exactly as the sliced
-    # formulation did.
+    # formulation did. All NINE taps are fused into ONE matmul per (row, dy)
+    # by stacking their bands and dpatch rows along the contraction dim
+    # ((9*wqb, Wq) x (9*wqb, C)) — dpatch stays in its natural (R, S, kk*c)
+    # layout (no transpose, one window DMA per block instead of nine), and
+    # the matmul issue count drops 9x, which was the dominant cost (the
+    # per-tap version measured 18.9 ms on the stage-4 layer).
+    cp2 = pltpu.make_async_copy(dp_hbm.at[ib, pl.ds(base, win_rows)],
+                                dp_win, sem2)
+    cp2.start()
+    cp2.wait()
+
     taps = [(ty, tx) for ty in range(k) for tx in range(k)]
     wqb_win = dp_win.shape[1]
     iota_j = jax.lax.broadcasted_iota(
         jnp.int32, (wqb_win, wq), 0).astype(jnp.float32)
     iota_s = jax.lax.broadcasted_iota(
         jnp.int32, (wqb_win, wq), 1).astype(jnp.float32)
-    for t, (ty, tx) in enumerate(taps):
-        cp2 = pltpu.make_async_copy(dp_hbm.at[ib, t, pl.ds(base, win_rows)],
-                                    dp_win, sem2)
-        cp2.start()
-        cp2.wait()
-        # dxv implied by the (j, s) pair for this tap
-        dxv_grid = iota_s - iota_j + (lpad + pad - tx * dil)
-        for i in range(BR):
-            def dy_body(dyi, acc, i=i, t=t, ty=ty, dxv_grid=dxv_grid):
+    for i in range(BR):
+        def dy_body(dyi, acc, i=i):
+            dy = dyi - radius
+            bands = []
+            rhs = []
+            for t, (ty, tx) in enumerate(taps):
                 # window row of source output i = r + pad - ty*dil - dy,
                 # with window row 0 = output row base - (dil + radius + 1)
                 iw = i + pad + dil * (1 - ty) + 2 * radius + 1 - dyi
-                dy = dyi - radius
                 oy = jnp.clip(op_win[iw, :, t:t + 1], -radius, radius)
                 ox = jnp.clip(op_win[iw, :, 16 + t:17 + t], -radius, radius)
                 ylo = jnp.floor(oy)
@@ -400,19 +407,23 @@ def _dx_kernel(op_hbm, dp_hbm, out_ref, op_win, dp_win, sem1, sem2, *,
                 fx = ox - xlo
                 wy = (jnp.where(ylo == dy, 1.0 - fy, 0.0)
                       + jnp.where(ylo + 1 == dy, fy, 0.0))
+                # dxv implied by the (j, s) pair for this tap
+                dxv_grid = iota_s - iota_j + (lpad + pad - tx * dil)
                 bt = wy * (jnp.where(dxv_grid == xlo, 1.0 - fx, 0.0)
                            + jnp.where(dxv_grid == xlo + 1, fx, 0.0))
-                dprow = dp_win[iw, :, :]
-                return acc + jax.lax.dot_general(
-                    bt.astype(dprow.dtype), dprow,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                bands.append(bt.astype(dp_win.dtype))
+                rhs.append(dp_win[iw, :, t * c:(t + 1) * c])
+            bt_cat = jnp.concatenate(bands, axis=0)    # (9*wqb, Wq)
+            rhs_cat = jnp.concatenate(rhs, axis=0)     # (9*wqb, C)
+            return acc + jax.lax.dot_general(
+                bt_cat, rhs_cat,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
-            acc = jax.lax.fori_loop(
-                blk_lo, blk_hi + 2, dy_body,
-                jnp.zeros((wq, dp_win.shape[2]), jnp.float32))
-            out_ref[0, i, :, :] = out_ref[0, i, :, :] + acc.astype(
-                out_ref.dtype)
+        acc = jax.lax.fori_loop(
+            blk_lo, blk_hi + 2, dy_body,
+            jnp.zeros((wq, c), jnp.float32))
+        out_ref[0, i, :, :] = acc.astype(out_ref.dtype)
 
 
 def _dx_from_dpatch(dp5, oy, ox, h, w, c, *, k, d, radius, x_dtype,
@@ -441,8 +452,11 @@ def _dx_from_dpatch(dp5, oy, ox, h, w, c, *, k, d, radius, x_dtype,
     wqb = lpad + max(ss, so, wq) + rpad
     win_b2 = BR + 2 * (d + radius) + 1
 
-    dp_t = dp5.astype(x_dtype).transpose(0, 3, 1, 2, 4)   # (B, kk, R, S, c)
-    dp_t = jnp.pad(dp_t, ((0, 0), (0, 0),
+    # dpatch stays in its NATURAL (R, S, kk*c) layout — the tap-fused kernel
+    # reads per-tap lane slices from one window DMA (no (kk, R, S, c)
+    # transpose, which cost a real XLA pass over the 9x-activation buffer)
+    dp_t = dp5.astype(x_dtype).reshape(bsz, rr, ss, k * k * c)
+    dp_t = jnp.pad(dp_t, ((0, 0),
                           (pad_top, rows_dp - pad_top - rr),
                           (lpad, wqb - lpad - ss), (0, 0)))
     # lane dim 128: HBM windows are DMA-sliced, and Mosaic requires slice
@@ -455,7 +469,7 @@ def _dx_from_dpatch(dp5, oy, ox, h, w, c, *, k, d, radius, x_dtype,
 
     dxp = pl.pallas_call(
         functools.partial(_dx_kernel, k=k, dil=d, pad=pad, radius=radius,
-                          lpad=lpad, wq=wq),
+                          lpad=lpad, wq=wq, c=c),
         grid=(bsz, nbi),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -466,7 +480,7 @@ def _dx_from_dpatch(dp5, oy, ox, h, w, c, *, k, d, radius, x_dtype,
         out_shape=jax.ShapeDtypeStruct((bsz, nbi * BR, wq, c), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((win_b2, wqb, 128), jnp.float32),
-            pltpu.VMEM((win_b2, wqb, c), x_dtype),
+            pltpu.VMEM((win_b2, wqb, k * k * c), x_dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],

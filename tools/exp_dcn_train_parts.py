@@ -26,11 +26,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def scalarized(fn):
+    """Reduce every output to ONE scalar INSIDE jit. Timing a program whose
+    jit output is a large array measures the axon relay's device_get tunnel
+    transfer (~tens of MB/s), not the kernel — a 182 MB buffer reads as
+    seconds. All timings here go through this wrapper."""
+    @jax.jit
+    def f(*a):
+        outs = fn(*a)
+        return sum(jnp.sum(jnp.abs(o).astype(jnp.float32))
+                   for o in jax.tree.leaves(outs))
+    return f
+
+
 def timed(name, fn, *args, iters=8):
-    jax.device_get(jax.tree.leaves(fn(*args))[0])
-    jax.device_get(jax.tree.leaves(fn(*args))[0])
+    jax.device_get(fn(*args))
+    jax.device_get(fn(*args))
     t0 = time.perf_counter()
-    outs = [jax.tree.leaves(fn(*args))[0] for _ in range(iters)]
+    outs = [fn(*args) for _ in range(iters)]
     jax.device_get(outs)
     dt = (time.perf_counter() - t0) / iters * 1000
     print(f"{name:<44} {dt:8.2f} ms")
@@ -53,11 +66,11 @@ def main():
     print(f"layer ({h},{w},{c})x{batch} stride 1")
 
     # fwd kernel
-    timed("fwd kernel", jax.jit(functools.partial(
+    timed("fwd kernel", scalarized(functools.partial(
         pdcn.deform_conv2d_pallas_batched, dilation=d)), x, off, wt)
 
     # full bwd
-    timed("bwd full (patches+contractions+doff+dx)", jax.jit(
+    timed("bwd full (patches+contractions+doff+dx)", scalarized(
         functools.partial(pdcn.deform_conv2d_bwd_pallas_batched,
                           kernel=k, dilation=d, radius=radius)),
         x, off, wt, g)
@@ -72,7 +85,6 @@ def main():
     wq = -(-w // 8) * 8
     npr = nbp * PBR
 
-    @jax.jit
     def patches_only(x, offsets):
         xp = jnp.zeros((batch, hp, wp_total, c), x.dtype)
         xp = jax.lax.dynamic_update_slice(xp, x, (0, margin, margin, 0))
@@ -102,10 +114,9 @@ def main():
             ],
         )(oyt, oxt, xp)
 
-    patches, dsy, dsx = patches_only(x, off)
-    timed("  patches+dsy+dsx kernel", patches_only, x, off)
+    patches, dsy, dsx = jax.jit(patches_only)(x, off)
+    timed("  patches+dsy+dsx kernel", scalarized(patches_only), x, off)
 
-    @jax.jit
     def contractions(patches, g):
         g_pad = jnp.pad(g.astype(x.dtype),
                         ((0, 0), (0, npr - h), (0, wq - w), (0, 0)))
@@ -119,10 +130,9 @@ def main():
                                      preferred_element_type=x.dtype)
         return dw, dpatch
 
-    _, dpatch = contractions(patches, g)
-    timed("  dW + dpatch contractions", contractions, patches, g)
+    _, dpatch = jax.jit(contractions)(patches, g)
+    timed("  dW + dpatch contractions", scalarized(contractions), patches, g)
 
-    @jax.jit
     def doffsets(dpatch, dsy, dsx, offsets):
         o = offsets.reshape(batch, h, w, k * k, 2).astype(jnp.float32)
         dp5 = dpatch.reshape(batch, npr, wq, k * k, c)
@@ -134,9 +144,8 @@ def main():
         doff = jnp.stack([doy, dox], axis=-1) * inb.astype(jnp.float32)
         return doff.reshape(batch, h, w, 2 * k * k).astype(offsets.dtype)
 
-    timed("  doffsets reduce", doffsets, dpatch, dsy, dsx, off)
+    timed("  doffsets reduce", scalarized(doffsets), dpatch, dsy, dsx, off)
 
-    @jax.jit
     def dx_only(dpatch, offsets):
         o = offsets.reshape(batch, h, w, k * k, 2).astype(jnp.float32)
         return pdcn._dx_from_dpatch(
@@ -144,7 +153,7 @@ def main():
             h, w, c, k=k, d=d, radius=radius, x_dtype=x.dtype,
             interpret=False)
 
-    timed("  dx transpose kernel", dx_only, dpatch, off)
+    timed("  dx transpose kernel", scalarized(dx_only), dpatch, off)
 
 
 if __name__ == "__main__":
